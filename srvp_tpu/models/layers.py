@@ -1,0 +1,142 @@
+"""Functional layer primitives: linear, batch norm, conv blocks.
+
+Parameters are plain nested dicts of jnp arrays (pytrees); every apply is a
+pure function. Mutable batch-norm statistics are threaded explicitly as a
+`state` pytree, the TPU-idiomatic replacement for torch's module buffers.
+
+Cross-replica synchronous batch norm (reference: SyncBatchNorm conversion at
+/root/reference/train.py:277-283) is obtained *by construction* here: under
+jit/pjit with the batch axis sharded over the `data` mesh axis, `jnp.mean`
+over the batch is a global mean and XLA inserts the collectives — no NCCL
+wrapper module needed.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from srvp_tpu.ops import convops, init as winit
+
+BN_EPS = 1e-5       # torch.nn.BatchNorm2d default
+BN_MOMENTUM = 0.1   # torch.nn.BatchNorm2d default
+
+
+# ---------------------------------------------------------------------------
+# Linear
+# ---------------------------------------------------------------------------
+
+def linear_apply(params, x):
+    y = x @ params["kernel"].astype(x.dtype)
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Batch normalization
+# ---------------------------------------------------------------------------
+
+def bn_init(key, num_features, scale_std=None):
+    """Returns (params, state) for a BatchNorm over the channel (last) axis.
+
+    scale_std=None keeps torch defaults (scale=1, bias=0); the reference's
+    encoder/decoder init uses scale ~ N(1, 0.02)
+    (/root/reference/module/utils.py:81-85).
+    """
+    if scale_std is None:
+        scale = jnp.ones((num_features,), jnp.float32)
+    else:
+        scale = winit.bn_scale_normal(key, (num_features,), std=scale_std)
+    params = {"scale": scale, "bias": jnp.zeros((num_features,), jnp.float32)}
+    state = {
+        "mean": jnp.zeros((num_features,), jnp.float32),
+        "var": jnp.ones((num_features,), jnp.float32),
+    }
+    return params, state
+
+
+def bn_apply(params, state, x, train):
+    """Batch norm over all axes but the last. Returns (y, new_state).
+
+    Training normalizes with biased batch statistics and updates running
+    stats with the unbiased variance (torch semantics). Statistics are
+    computed in float32 even under bf16 compute.
+    """
+    reduce_axes = tuple(range(x.ndim - 1))
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=reduce_axes)
+        var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+        n = 1
+        for ax in reduce_axes:
+            n *= x.shape[ax]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jnp.reciprocal(jnp.sqrt(var + BN_EPS))
+    scale = (params["scale"] * inv).astype(x.dtype)
+    shift = (params["bias"] - params["scale"] * mean * inv).astype(x.dtype)
+    return x * scale + shift, new_state
+
+
+# ---------------------------------------------------------------------------
+# Conv blocks: conv/convT -> [BN] -> activation
+# (reference structure: /root/reference/module/conv.py:81-107)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ConvBlockSpec:
+    """Static description of one conv block."""
+    kind: str          # 'conv' | 'convt'
+    in_ch: int
+    out_ch: int
+    kernel: int
+    stride: int
+    padding: int
+    activation: str = "leaky_relu"
+    bn: bool = True
+
+
+def conv_block_init(key, spec, conv_init="normal", init_gain=0.02):
+    """Returns (params, state) for a ConvBlockSpec.
+
+    conv_init='normal' reproduces the reference encoder/decoder init
+    (normal(0, 0.02) conv kernels, N(1, 0.02) BN scales); 'default' keeps
+    torch module defaults.
+    """
+    import jax
+    k_conv, k_bn = jax.random.split(key)
+    shape = (spec.kernel, spec.kernel, spec.in_ch, spec.out_ch)
+    if conv_init == "normal":
+        kernel = winit.normal(k_conv, shape, std=init_gain)
+        bn_scale_std = init_gain
+    elif conv_init == "default":
+        fan_in = spec.in_ch * spec.kernel * spec.kernel
+        kernel = winit.uniform_fan_in(k_conv, shape, fan_in)
+        bn_scale_std = None
+    else:
+        raise ValueError(f"Unknown conv_init '{conv_init}'")
+    params = {"conv": {"kernel": kernel}}
+    state = {}
+    if spec.bn:
+        params["bn"], state["bn"] = bn_init(k_bn, spec.out_ch, scale_std=bn_scale_std)
+    return params, state
+
+
+def conv_block_apply(params, state, spec, x, train):
+    """Applies conv/convT -> [BN] -> activation. Returns (y, new_state)."""
+    if spec.kind == "conv":
+        h = convops.conv2d(x, params["conv"]["kernel"], spec.stride, spec.padding)
+    elif spec.kind == "convt":
+        h = convops.conv_transpose2d(x, params["conv"]["kernel"], spec.stride, spec.padding)
+    else:
+        raise ValueError(f"Unknown conv kind '{spec.kind}'")
+    new_state = {}
+    if spec.bn:
+        h, new_state["bn"] = bn_apply(params["bn"], state["bn"], h, train)
+    return convops.activation(spec.activation)(h), new_state

@@ -1,0 +1,99 @@
+"""Convolution primitives with PyTorch numerics on TPU-native NHWC/HWIO layouts.
+
+The reference relies on torch/cuDNN Conv2d, ConvTranspose2d, MaxPool2d and
+nearest Upsample (/root/reference/module/conv.py). Here each op is expressed
+as a single `lax` primitive so XLA:TPU can tile it onto the MXU and fuse the
+surrounding elementwise work. Padding is explicit (torch-style integer
+padding), never 'SAME', so outputs match torch bit-for-bit in fp32.
+
+Kernels are stored HWIO. For conv_transpose the kernel is stored with
+I = input channels of the op (torch convT weight (Cin, Cout, kh, kw)
+transposed to (kh, kw, Cin, Cout)); the spatial flip that makes a transposed
+convolution a dilated direct convolution happens at apply time.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(x, w, stride=1, padding=0, accum_dtype=jnp.float32):
+    """torch.nn.functional.conv2d equivalent. x: NHWC, w: HWIO."""
+    s = (stride, stride) if isinstance(stride, int) else stride
+    p = [(padding, padding)] * 2 if isinstance(padding, int) else padding
+    return lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=s, padding=p,
+        dimension_numbers=_DIMS, preferred_element_type=accum_dtype,
+    ).astype(x.dtype)
+
+
+def conv_transpose2d(x, w, stride=1, padding=0, accum_dtype=jnp.float32):
+    """torch.nn.functional.conv_transpose2d equivalent.
+
+    x: NHWC; w: HWIO with I = x channels, O = output channels.
+    output size = (in - 1) * stride - 2 * padding + kernel.
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    s = (stride, stride) if isinstance(stride, int) else stride
+    p = (padding, padding) if isinstance(padding, int) else padding
+    w_flipped = jnp.flip(w, axis=(0, 1)).astype(x.dtype)
+    pads = [(kh - 1 - p[0], kh - 1 - p[0]), (kw - 1 - p[1], kw - 1 - p[1])]
+    return lax.conv_general_dilated(
+        x, w_flipped, window_strides=(1, 1), padding=pads, lhs_dilation=s,
+        dimension_numbers=_DIMS, preferred_element_type=accum_dtype,
+    ).astype(x.dtype)
+
+
+def max_pool2d(x, window=2, stride=2):
+    """torch.nn.MaxPool2d(window, stride, padding=0) equivalent. x: NHWC."""
+    return lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+
+
+def upsample_nearest2x(x):
+    """torch.nn.Upsample(scale_factor=2, mode='nearest') equivalent. x: NHWC."""
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
+
+
+def depthwise_conv2d(x, w, padding=0):
+    """Depthwise (grouped, groups == channels) conv for the SSIM metric.
+
+    x: NHWC, w: (kh, kw, 1, C) — one filter per channel.
+    """
+    c = x.shape[-1]
+    p = [(padding, padding)] * 2 if isinstance(padding, int) else padding
+    return lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1), padding=p,
+        dimension_numbers=_DIMS, feature_group_count=c,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def leaky_relu(x, negative_slope=0.2):
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "leaky_relu": leaky_relu,
+    "elu": jax.nn.elu,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+    "none": lambda x: x,
+}
+
+
+def activation(name):
+    """Activation lookup (parity with /root/reference/module/utils.py:23-48)."""
+    try:
+        return ACTIVATIONS[name]
+    except KeyError:
+        raise ValueError(f"Activation function '{name}' not yet implemented")
