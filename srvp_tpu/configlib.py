@@ -1,0 +1,74 @@
+"""A small configargparse-compatible argument parser.
+
+The reference uses configargparse (/root/reference/args.py:16,36); that
+package is not a baked-in dependency here, so this shim provides the subset
+the CLIs need: `.add()` aliases, argument groups and mutually exclusive
+groups with `.add()`, default-value help formatting, and an optional
+`--config <json|yaml>` file whose entries become argument defaults.
+"""
+
+import argparse
+
+
+class _GroupWrapper:
+    def __init__(self, group, parser):
+        self._group = group
+        self._parser = parser
+
+    def add(self, *args, **kwargs):
+        self._parser._register_action(self._group.add_argument(*args, **kwargs))
+
+    add_argument = add
+
+    def add_mutually_exclusive_group(self, **kwargs):
+        return _GroupWrapper(self._group.add_mutually_exclusive_group(**kwargs), self._parser)
+
+
+class ArgumentParser(argparse.ArgumentParser):
+    def __init__(self, *args, formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+                 **kwargs):
+        kwargs.pop("default_config_files", None)
+        super().__init__(*args, formatter_class=formatter_class, **kwargs)
+        self._config_actions = []
+        super().add_argument(
+            "--config", type=str, default=None, metavar="FILE",
+            help="Optional JSON/YAML file providing default values for any flag.")
+
+    def _register_action(self, action):
+        self._config_actions.append(action)
+
+    def add(self, *args, **kwargs):
+        self._register_action(self.add_argument(*args, **kwargs))
+
+    def add_argument_group(self, *args, **kwargs):
+        return _GroupWrapper(super().add_argument_group(*args, **kwargs), self)
+
+    def parse_args(self, args=None, namespace=None):
+        # Two-phase parse: pick up --config, apply file values as defaults,
+        # then parse normally so CLI flags override the file.
+        pre, _ = super().parse_known_args(args)
+        if getattr(pre, "config", None):
+            path = pre.config
+            if path.endswith((".yaml", ".yml")):
+                import yaml
+                with open(path) as f:
+                    values = yaml.safe_load(f)
+            else:
+                import json
+                with open(path) as f:
+                    values = json.load(f)
+            known = {a.dest for a in self._actions}
+            unknown = set(values) - known
+            if unknown:
+                self.error(f"unknown keys in config file: {sorted(unknown)}")
+            self.set_defaults(**values)
+            # Required flags satisfied by the config file are no longer required.
+            for a in self._actions:
+                if a.dest in values:
+                    a.required = False
+        return super().parse_args(args, namespace)
+
+
+# configargparse API aliases
+ArgParser = ArgumentParser
+ArgumentDefaultsHelpFormatter = argparse.ArgumentDefaultsHelpFormatter

@@ -1,0 +1,49 @@
+"""BAIR robot-pushing dataset: PNG frame directories, 30-frame videos.
+
+Behavior parity with /root/reference/data/bair.py: processed_data/{train,test}
+directory trees; training picks a random 30-frame-window start, test starts
+at frame 0.
+"""
+
+import os
+from os.path import join
+
+import numpy as np
+from PIL import Image
+
+from srvp_tpu.data.base import VideoDataset
+
+
+class BAIR(VideoDataset):
+    def __init__(self, data, seq_len, train):
+        assert seq_len <= 30
+        self.data = data
+        self.nx = 64
+        self.nc = 3
+        self.seq_len = seq_len
+        self.train = train
+
+    def change_seq_len(self, seq_len):
+        self.seq_len = seq_len
+
+    def _filter(self, data):
+        return BAIR(data, self.seq_len, self.train)
+
+    def get_item(self, index, rng=None):
+        vid = self.data[index]
+        t0 = rng.randint(30 - self.seq_len + 1) if self.train else 0
+        x = np.zeros((self.seq_len, self.nx, self.nx, self.nc), dtype=np.uint8)
+        for t in range(self.seq_len):
+            x[t] = np.array(Image.open(vid[t0 + t]))
+        return x
+
+    @classmethod
+    def make_dataset(cls, data_dir, seq_len, train):
+        root = join(data_dir, "processed_data", "train" if train else "test")
+        data = []
+        for d1 in sorted(os.listdir(root)):
+            for d2 in sorted(os.listdir(join(root, d1))):
+                data.append(sorted(
+                    join(root, d1, d2, img) for img in os.listdir(join(root, d1, d2))
+                    if os.path.splitext(img)[1] == ".png"))
+        return cls(data, seq_len, train)

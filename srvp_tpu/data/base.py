@@ -1,0 +1,73 @@
+"""Dataset registry, collate, and fold splitting.
+
+Behavior parity with /root/reference/data/base.py:
+  * load_dataset dispatch by config.dataset (base.py:21-51)
+  * deterministic 95/5 train/val split with a seed-42 RandomState shuffle,
+    preserving original item order within each fold (base.py:116-128)
+  * collate merges uint8 (T,H,W[,C]) videos into float32 [0,1] batches —
+    here with TPU layout (T, B, H, W, C) instead of (T, B, C, H, W)
+
+Datasets expose `get_item(index, rng)` with an EXPLICIT numpy RandomState:
+randomness is an argument, not process-global state, so multi-threaded
+prefetching stays deterministic (SURVEY.md §5 race-detection note).
+"""
+
+import numpy as np
+
+
+def load_dataset(config, train):
+    """Builds the dataset named by config.dataset ('smmnist'|'kth'|'human'|'bair')."""
+    name = config.dataset
+    if name == "smmnist":
+        from srvp_tpu.data.mmnist import MovingMNIST
+        return MovingMNIST.make_dataset(config.data_dir, config.nx, config.seq_len,
+                                        config.max_speed, config.deterministic,
+                                        config.ndigits, train)
+    if name == "kth":
+        from srvp_tpu.data.kth import KTH
+        return KTH.make_dataset(config.data_dir, config.nx, config.seq_len, train)
+    if name == "human":
+        from srvp_tpu.data.human import Human
+        return Human.make_dataset(config.data_dir, config.nx, config.seq_len,
+                                  config.subsampling, train)
+    if name == "bair":
+        from srvp_tpu.data.bair import BAIR
+        return BAIR.make_dataset(config.data_dir, config.seq_len, train)
+    raise ValueError(f"No dataset named '{name}'")
+
+
+def collate(videos):
+    """uint8 videos [(T,H,W) or (T,H,W,C)] -> float32 (T, B, H, W, C) in [0,1]."""
+    batch = np.stack([v if v.ndim == 4 else v[..., None] for v in videos], axis=1)
+    return np.ascontiguousarray(batch, dtype=np.float32) / 255.0
+
+
+class VideoDataset:
+    """Abstract video dataset; subclasses provide `data`, `train`,
+    `get_item(index, rng)` and `_filter(data)`."""
+
+    def get_fold(self, fold):
+        if fold in ("train", "val"):
+            assert self.train
+            rng = np.random.RandomState(42)
+            rand_ids = list(range(len(self.data)))
+            rng.shuffle(rand_ids)
+            n_train = int(0.95 * len(rand_ids))
+            keep = set(rand_ids[:n_train] if fold == "train" else rand_ids[n_train:])
+            data = [x for i, x in enumerate(self.data) if i in keep]
+        else:
+            assert fold == "test" and not self.train
+            data = self.data
+        return self._filter(data)
+
+    def change_seq_len(self, seq_len):
+        raise NotImplementedError
+
+    def __len__(self):
+        return len(self.data)
+
+    def get_item(self, index, rng):
+        raise NotImplementedError
+
+    def _filter(self, data):
+        raise NotImplementedError

@@ -1,0 +1,94 @@
+"""Threaded prefetching data loader.
+
+Replaces the reference's torch DataLoader worker subprocesses
+(/root/reference/train.py:261-266) with a deterministic thread-pool pipeline:
+item randomness comes from per-item RandomStates derived from (seed, epoch,
+position), never shared global state, so results are reproducible for any
+thread count. Batches are prefetched on a background thread so host data
+work overlaps device steps (the classic TPU input-pipeline pattern).
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from srvp_tpu.data.base import collate
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size, shuffle=True, drop_last=True,
+                 seed=0, num_workers=4, prefetch=2, collate_fn=collate):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.collate_fn = collate_fn
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            order = np.random.RandomState(
+                (self.seed + 0x9E3779B1 * self.epoch) % (2**31 - 1)).permutation(n)
+        else:
+            order = np.arange(n)
+        return order
+
+    def __iter__(self):
+        order = self._epoch_indices()
+        n_batches = len(self)
+        epoch = self.epoch
+        self.epoch += 1
+
+        def fetch(pos):
+            idx = int(order[pos])
+            rng = np.random.RandomState(
+                (self.seed * 1_000_003 + epoch * 7_777_777 + pos) % (2**31 - 1))
+            return self.dataset.get_item(idx, rng)
+
+        out_q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    lo = b * self.batch_size
+                    hi = min(lo + self.batch_size, len(order))
+                    items = list(pool.map(fetch, range(lo, hi)))
+                    out_q.put(self.collate_fn(items))
+            out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+            # Drain so the producer can exit if the consumer stopped early.
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+def infinite_batches(loader):
+    """Cycles a DataLoader forever (the reference's while-not-finished loop,
+    train.py:332-336)."""
+    while True:
+        yield from loader

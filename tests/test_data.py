@@ -1,0 +1,112 @@
+"""Data pipeline tests: MMNIST physics golden parity, folds, collate, loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from srvp_tpu.data.base import collate
+from srvp_tpu.data.loader import DataLoader
+from srvp_tpu.data.mmnist import MovingMNIST
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "mmnist_golden.npz")
+
+
+class TestMovingMNISTGolden:
+    """Bit-exact parity with reference-generated videos (same seeds/draw order).
+
+    The fixture was produced by running the reference generator
+    (/root/reference/data/mmnist.py) as an oracle with synthetic digit images.
+    """
+
+    @pytest.mark.parametrize("mode", ["sto", "det"])
+    def test_bit_exact(self, mode):
+        arc = np.load(GOLDEN)
+        digits = [arc["digits"][i] for i in range(len(arc["digits"]))]
+        ds = MovingMNIST(digits, 64, 13, 4, mode == "det", 2, True)
+        for k in range(len(arc[mode])):
+            mine = ds.get_item(0, np.random.RandomState(1000 + k))
+            np.testing.assert_array_equal(mine, arc[mode][k])
+
+
+class TestMovingMNISTPhysics:
+    def _ds(self, det=True):
+        digits = [np.full((28, 28), 200, np.uint8)]
+        return MovingMNIST(digits, 64, 50, 4, det, 1, True)
+
+    def test_positions_in_bounds(self):
+        ds = self._ds(det=False)
+        for seed in range(5):
+            traj = ds._compute_trajectory(np.random.RandomState(seed), 28, 28)
+            for sx, sy, _, _ in traj:
+                assert 0 <= sx <= 36 and 0 <= sy <= 36
+
+    def test_deterministic_speed_magnitudes_conserved(self):
+        ds = self._ds(det=True)
+        traj = ds._compute_trajectory(np.random.RandomState(3), 28, 28)
+        speeds = {(abs(dx), abs(dy)) for _, _, dx, dy in traj}
+        assert len(speeds) == 1  # bounces only flip signs in deterministic mode
+
+    def test_linear_motion_between_bounces(self):
+        ds = self._ds(det=True)
+        traj = ds._compute_trajectory(np.random.RandomState(7), 28, 28)
+        for (x0, y0, dx0, dy0), (x1, y1, dx1, dy1) in zip(traj, traj[1:]):
+            if (dx0, dy0) == (dx1, dy1) and 0 < x1 < 36 and 0 < y1 < 36:
+                # no bounce in this interval: exact linear step
+                assert abs(x1 - (x0 + dx0)) <= 1 and abs(y1 - (y0 + dy0)) <= 1
+
+
+class TestFoldsAndCollate:
+    def test_fold_split_deterministic_95_5(self):
+        digits = [np.zeros((28, 28), np.uint8) for _ in range(100)]
+        for i, d in enumerate(digits):
+            d[0, 0] = i  # tag items
+        ds = MovingMNIST(digits, 64, 5, 4, False, 2, True)
+        tr = ds.get_fold("train")
+        va = ds.get_fold("val")
+        assert len(tr.data) == 95 and len(va.data) == 5
+        tags_tr = {d[0, 0] for d in tr.data}
+        tags_va = {d[0, 0] for d in va.data}
+        assert tags_tr.isdisjoint(tags_va)
+        # same split on a rebuild (seed 42 fixed)
+        va2 = MovingMNIST(digits, 64, 5, 4, False, 2, True).get_fold("val")
+        assert {d[0, 0] for d in va2.data} == tags_va
+
+    def test_collate_layout_and_range(self):
+        vids_grey = [np.full((4, 8, 8), 255, np.uint8) for _ in range(3)]
+        out = collate(vids_grey)
+        assert out.shape == (4, 3, 8, 8, 1) and out.dtype == np.float32
+        assert out.max() == 1.0
+        vids_rgb = [np.zeros((4, 8, 8, 3), np.uint8) for _ in range(2)]
+        out = collate(vids_rgb)
+        assert out.shape == (4, 2, 8, 8, 3) and out.min() == 0.0
+
+
+class TestLoader:
+    def test_deterministic_and_shaped(self):
+        digits = [np.full((28, 28), 128, np.uint8) for _ in range(10)]
+        ds = MovingMNIST(digits, 64, 6, 4, False, 2, True)
+        ds_small = ds._filter(digits)
+
+        def take2(seed):
+            loader = DataLoader(ds_small, batch_size=4, seed=seed, num_workers=2)
+            it = iter(loader)
+            return next(it), next(it)
+
+        a1, a2 = take2(5)
+        b1, b2 = take2(5)
+        np.testing.assert_array_equal(a1, b1)
+        np.testing.assert_array_equal(a2, b2)
+        assert a1.shape == (6, 4, 64, 64, 1)
+        c1, _ = take2(6)
+        assert np.abs(a1 - c1).max() > 0
+
+    def test_epoch_advances_order(self):
+        digits = [np.random.RandomState(i).randint(0, 255, (28, 28)).astype(np.uint8)
+                  for i in range(50)]
+        ds = MovingMNIST(digits, 64, 3, 4, False, 1, False)  # test mode: data indexed
+        ds.data = digits  # treat digits as 'videos' for ordering check
+        loader = DataLoader(ds, batch_size=10, seed=1, num_workers=1, drop_last=True)
+        e1 = np.concatenate([b.ravel() for b in loader])
+        e2 = np.concatenate([b.ravel() for b in loader])
+        assert np.abs(e1 - e2).max() > 0  # different shuffle per epoch
