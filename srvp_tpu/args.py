@@ -160,5 +160,8 @@ def create_args():
               help="If set, capture a jax.profiler trace of a few steps into DIR.")
     tpu_p.add("--val_samples_chunk", type=int, metavar="NB", default=25,
               help="Best-of-N validation rollouts evaluated per vmapped chunk.")
+    tpu_p.add("--allow_synthetic", action="store_true",
+              help="For Moving MNIST: fall back to procedural digits when the "
+                   "MNIST archive is absent (benchmarks/smoke tests only).")
 
     return p

@@ -10,18 +10,17 @@ groups with `.add()`, default-value help formatting, and an optional
 import argparse
 
 
-class _GroupWrapper:
-    def __init__(self, group, parser):
-        self._group = group
-        self._parser = parser
+def _augment_group(group):
+    """Gives an argparse group configargparse's `.add` alias (recursively for
+    mutually exclusive subgroups)."""
+    group.add = group.add_argument
+    orig_mex = group.add_mutually_exclusive_group
 
-    def add(self, *args, **kwargs):
-        self._parser._register_action(self._group.add_argument(*args, **kwargs))
+    def add_mutually_exclusive_group(**kwargs):
+        return _augment_group(orig_mex(**kwargs))
 
-    add_argument = add
-
-    def add_mutually_exclusive_group(self, **kwargs):
-        return _GroupWrapper(self._group.add_mutually_exclusive_group(**kwargs), self._parser)
+    group.add_mutually_exclusive_group = add_mutually_exclusive_group
+    return group
 
 
 class ArgumentParser(argparse.ArgumentParser):
@@ -29,19 +28,15 @@ class ArgumentParser(argparse.ArgumentParser):
                  **kwargs):
         kwargs.pop("default_config_files", None)
         super().__init__(*args, formatter_class=formatter_class, **kwargs)
-        self._config_actions = []
-        super().add_argument(
+        self.add_argument(
             "--config", type=str, default=None, metavar="FILE",
             help="Optional JSON/YAML file providing default values for any flag.")
 
-    def _register_action(self, action):
-        self._config_actions.append(action)
-
     def add(self, *args, **kwargs):
-        self._register_action(self.add_argument(*args, **kwargs))
+        self.add_argument(*args, **kwargs)
 
     def add_argument_group(self, *args, **kwargs):
-        return _GroupWrapper(super().add_argument_group(*args, **kwargs), self)
+        return _augment_group(super().add_argument_group(*args, **kwargs))
 
     def parse_args(self, args=None, namespace=None):
         # Two-phase parse: pick up --config, apply file values as defaults,

@@ -22,7 +22,11 @@ def load_dataset(config, train):
         from srvp_tpu.data.mmnist import MovingMNIST
         return MovingMNIST.make_dataset(config.data_dir, config.nx, config.seq_len,
                                         config.max_speed, config.deterministic,
-                                        config.ndigits, train)
+                                        config.ndigits, train,
+                                        allow_synthetic=bool(
+                                            config.get("allow_synthetic", False)
+                                            if hasattr(config, "get") else
+                                            getattr(config, "allow_synthetic", False)))
     if name == "kth":
         from srvp_tpu.data.kth import KTH
         return KTH.make_dataset(config.data_dir, config.nx, config.seq_len, train)

@@ -1,0 +1,154 @@
+"""Training entry point (library half of the train.py CLI).
+
+End-to-end parity with /root/reference/train.py:192-396, re-architected for
+TPU: no process launcher or ranks — one Python process drives the whole mesh
+with jit-compiled SPMD steps; data-parallel gradient reduction and SyncBN
+come from GSPMD sharding, not NCCL wrappers.
+"""
+
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from srvp_tpu import train_lib
+from srvp_tpu.data.base import load_dataset
+from srvp_tpu.data.loader import DataLoader, infinite_batches
+from srvp_tpu.helper import save_json
+from srvp_tpu.models.srvp import SRVPConfig
+from srvp_tpu.parallel import make_mesh, replicated, shard_batch
+from srvp_tpu.utils import checkpoint as ckpt
+
+
+def model_config(opt):
+    return SRVPConfig(nx=opt.nx, nc=opt.nc, nf=opt.nf, nhx=opt.nhx, ny=opt.ny,
+                      nz=opt.nz, skipco=bool(opt.skipco), nt_inf=opt.nt_inf,
+                      nh_inf=opt.nh_inf, nlayers_inf=opt.nlayers_inf,
+                      nh_res=opt.nh_res, nlayers_res=opt.nlayers_res,
+                      archi=opt.archi)
+
+
+def train_hparams(opt):
+    precision = opt.get("precision", "float32")
+    if opt.get("torch_amp") or opt.get("apex_amp"):
+        precision = "bfloat16"
+    return train_lib.TrainHParams(
+        oversampling=opt.n_euler_steps, obs_scale=opt.obs_scale,
+        beta_y=opt.beta_y, beta_z=opt.beta_z, l2_res=opt.l2_res, lr=opt.lr,
+        lr_burnin=opt.lr_scheduling_burnin, lr_decay_iter=opt.lr_scheduling_n_iter,
+        nt_cond=opt.nt_cond, n_samples_test=opt.n_samples_test,
+        val_samples_chunk=opt.get("val_samples_chunk", 25),
+        compute_dtype=jnp.bfloat16 if precision == "bfloat16" else jnp.float32)
+
+
+def main(opt):
+    # ----- setup (reference train.py:204-237) -----
+    if opt.seed is None:
+        opt.seed = random.randint(1, 10000)
+    assert isinstance(opt.seed, int) and opt.seed > 0
+    mesh = make_mesh(opt.get("n_devices"))
+    n_dev = mesh.devices.size
+    print(f"Learning on {n_dev} device(s) (seed: {opt.seed}): "
+          f"{mesh.devices.ravel()[0].platform}")
+    assert opt.batch_size % n_dev == 0, "global batch must divide the mesh"
+
+    # ----- data (reference train.py:242-266) -----
+    print("Loading data...")
+    dataset = load_dataset(opt, True)
+    trainset = dataset.get_fold("train")
+    valset = dataset.get_fold("val")
+    if opt.seq_len_test is not None:
+        valset.change_seq_len(opt.seq_len_test)
+    seq_len_val = opt.seq_len_test or opt.seq_len
+    train_loader = DataLoader(trainset, opt.batch_size, shuffle=True,
+                              drop_last=True, seed=opt.seed,
+                              num_workers=opt.n_workers)
+    val_loader = DataLoader(valset, opt.batch_size_test, shuffle=True,
+                            drop_last=True, seed=opt.seed + 1,
+                            num_workers=opt.n_workers)
+
+    # ----- model + optimizer (reference train.py:271-293) -----
+    print("Building model...")
+    cfg = model_config(opt)
+    hp = train_hparams(opt)
+    opt.n_iter = opt.get("n_iter") or (opt.lr_scheduling_burnin
+                                       + opt.lr_scheduling_n_iter)
+    ts = train_lib.init_train_state(jax.random.PRNGKey(opt.seed), cfg, hp,
+                                    res_gain=opt.res_gain)
+    ts = jax.device_put(ts, replicated(mesh))
+    if opt.get("resume") and ckpt.has_train_state(opt.save_path):
+        ts, meta = ckpt.load_train_state(opt.save_path, ts)
+        ts = jax.device_put(ts, replicated(mesh))
+        print(f"Resumed from step {int(ts.step)}")
+
+    os.makedirs(opt.save_path, exist_ok=True)
+    save_json({k: v for k, v in opt.items()}, os.path.join(opt.save_path, "config.json"))
+
+    train_step = train_lib.make_train_step(cfg, hp)
+    eval_batch = train_lib.make_eval_batch(cfg, hp, nt=seq_len_val)
+    eval_key = jax.random.PRNGKey(opt.seed + 123)
+
+    # ----- training loop (reference train.py:321-384) -----
+    assert opt.n_iter > 0
+    itr = int(ts.step)
+    val_metric, best_val_metric = None, None
+    metrics = None
+    log_interval = opt.get("log_interval", 100)
+    status_code = 0
+    t_last, itr_last = time.time(), itr
+    frames_per_batch = opt.seq_len * opt.batch_size
+
+    profile_dir = opt.get("profile_dir")
+    try:
+        for batch in infinite_batches(train_loader):
+            if itr >= opt.n_iter:
+                break
+            itr += 1
+            if profile_dir and itr == 10:
+                jax.profiler.start_trace(profile_dir)
+            ts, metrics = train_step(ts, shard_batch(mesh, batch))
+            if profile_dir and itr == 15:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                print(f"Profiler trace written to {profile_dir}")
+
+            if itr % log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                now = time.time()
+                fps = frames_per_batch * (itr - itr_last) / max(now - t_last, 1e-9)
+                t_last, itr_last = now, itr
+                print(f"[{itr}/{opt.n_iter}] loss={m['loss']:.4f} "
+                      f"nll={m['nll']:.4f} kl_y_0={m['kl_y_0']:.4f} "
+                      f"kl_z={m['kl_z']:.4f} lr={m['lr']:.2e} "
+                      f"fps={fps:.0f} val={val_metric} best={best_val_metric}",
+                      flush=True)
+
+            if itr % opt.val_interval == 0:
+                val_metric = train_lib.evaluate(
+                    eval_batch, ts.params, ts.bn_state, iter(val_loader),
+                    opt.n_iter_test, jax.random.fold_in(eval_key, itr),
+                    shard_fn=lambda b: shard_batch(mesh, b))
+                print(f"[{itr}] val_metric (-PSNR): {val_metric:.4f}", flush=True)
+                if best_val_metric is None or best_val_metric > val_metric:
+                    best_val_metric = val_metric
+                    ckpt.save_model(opt.save_path, "model_best", ts.params,
+                                    ts.bn_state)
+
+            if opt.chkpt_interval is not None and itr % opt.chkpt_interval == 0:
+                ckpt.save_model(opt.save_path, f"model_{itr}", ts.params,
+                                ts.bn_state)
+                ckpt.save_train_state(opt.save_path, jax.device_get(ts))
+    except KeyboardInterrupt:
+        status_code = 130
+
+    # ----- final save (reference train.py:377-383) -----
+    print("Saving...")
+    ckpt.save_model(opt.save_path, "model", ts.params, ts.bn_state)
+    ckpt.save_train_state(opt.save_path, jax.device_get(ts))
+    print("Done")
+    return status_code

@@ -1,0 +1,54 @@
+"""Checkpointing: model snapshots + full train-state checkpoints with resume.
+
+The reference saves params-only .pt files and has NO resume path
+(/root/reference/train.py:362,366,382; SURVEY.md §5). Here:
+  * model_{best,itr,final} snapshots hold params + batch-norm state
+    (model.npz / model_best.npz / model_{itr}.npz, mirroring the reference's
+    file naming with .npz instead of .pt)
+  * train_state.npz holds the FULL state (params, BN stats, Adam moments,
+    step, base RNG key) so --resume continues bit-identically
+"""
+
+import json
+import os
+
+from srvp_tpu.utils.serialization import load_npz, save_npz
+
+TRAIN_STATE_FILE = "train_state.npz"
+TRAIN_META_FILE = "train_state.json"
+
+
+def save_model(save_path, name, params, bn_state):
+    save_npz(os.path.join(save_path, f"{name}.npz"),
+             {"params": params, "bn_state": bn_state})
+
+
+def load_model(path, params_template, bn_state_template):
+    tree = load_npz(path, {"params": params_template, "bn_state": bn_state_template})
+    return tree["params"], tree["bn_state"]
+
+
+def save_train_state(save_path, ts, extra=None):
+    tmp = os.path.join(save_path, TRAIN_STATE_FILE + ".tmp.npz")
+    save_npz(tmp, ts._asdict())
+    os.replace(tmp, os.path.join(save_path, TRAIN_STATE_FILE))
+    meta = {"step": int(ts.step)}
+    if extra:
+        meta.update(extra)
+    with open(os.path.join(save_path, TRAIN_META_FILE), "w") as f:
+        json.dump(meta, f)
+
+
+def load_train_state(save_path, ts_template):
+    path = os.path.join(save_path, TRAIN_STATE_FILE)
+    tree = load_npz(path, ts_template._asdict())
+    meta_path = os.path.join(save_path, TRAIN_META_FILE)
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return type(ts_template)(**tree), meta
+
+
+def has_train_state(save_path):
+    return os.path.exists(os.path.join(save_path, TRAIN_STATE_FILE))

@@ -1,0 +1,116 @@
+"""Training-stack tests: loss descent, schedule, checkpoint/resume, SPMD parity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srvp_tpu import train_lib
+from srvp_tpu.models.srvp import SRVPConfig
+from srvp_tpu.parallel import make_mesh, replicated, shard_batch
+from srvp_tpu.utils import checkpoint as ckpt
+
+TINY = SRVPConfig(nx=64, nc=1, nf=4, nhx=8, ny=4, nz=4, skipco=False,
+                  nt_inf=2, nh_inf=8, nlayers_inf=2, nh_res=16, nlayers_res=2,
+                  archi="dcgan")
+HP = train_lib.TrainHParams(oversampling=1, obs_scale=1.0, beta_y=1.0,
+                            beta_z=1.0, l2_res=1.0, lr=3e-4, lr_burnin=100,
+                            lr_decay_iter=100, nt_cond=2, n_samples_test=4,
+                            val_samples_chunk=2)
+
+
+def synth_batch(nt=4, bsz=8, seed=0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.rand(nt, bsz, 64, 64, 1).astype(np.float32))
+
+
+def test_lr_schedule_matches_torch_lambda_lr():
+    sched = train_lib.lr_schedule(HP)
+    assert float(sched(0)) == pytest.approx(3e-4)
+    assert float(sched(99)) == pytest.approx(3e-4)          # last burn-in step
+    assert float(sched(100)) == pytest.approx(3e-4 * 99 / 100)
+    assert float(sched(199)) == pytest.approx(0.0)
+    assert float(sched(500)) == pytest.approx(0.0)
+
+
+def test_train_step_decreases_loss():
+    ts = train_lib.init_train_state(jax.random.PRNGKey(0), TINY, HP)
+    step = train_lib.make_train_step(TINY, HP)
+    x = synth_batch()
+    first = None
+    for _ in range(25):
+        ts, metrics = step(ts, x)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    ts = train_lib.init_train_state(jax.random.PRNGKey(1), TINY, HP)
+    step = train_lib.make_train_step(TINY, HP)
+    x = synth_batch(seed=1)
+    for _ in range(3):
+        ts, _ = step(ts, x)
+    ckpt.save_train_state(str(tmp_path), jax.device_get(ts))
+    template = train_lib.init_train_state(jax.random.PRNGKey(2), TINY, HP)
+    restored, meta = ckpt.load_train_state(str(tmp_path), template)
+    assert meta["step"] == 3
+    for a, b in zip(jax.tree_util.tree_leaves(ts),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed training is bit-identical to uninterrupted training
+    ts_cont, m1 = step(ts, x)
+    ts_res, m2 = step(restored, x)
+    np.testing.assert_array_equal(np.asarray(m1["loss"]), np.asarray(m2["loss"]))
+
+
+def test_model_snapshot_roundtrip(tmp_path):
+    ts = train_lib.init_train_state(jax.random.PRNGKey(3), TINY, HP)
+    ckpt.save_model(str(tmp_path), "model_best", ts.params, ts.bn_state)
+    p2, s2 = ckpt.load_model(str(tmp_path / "model_best.npz"),
+                             ts.params, ts.bn_state)
+    for a, b in zip(jax.tree_util.tree_leaves(ts.params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_training_matches_single_device():
+    """Data-parallel SPMD must reproduce single-device numerics (this is the
+    SyncBN + gradient-all-reduce equivalence check, SURVEY.md §2.3)."""
+    x = synth_batch(nt=3, bsz=8, seed=2)
+
+    def run(mesh):
+        ts = train_lib.init_train_state(jax.random.PRNGKey(0), TINY, HP)
+        ts = jax.device_put(ts, replicated(mesh))
+        step = train_lib.make_train_step(TINY, HP)
+        losses = []
+        xs = shard_batch(mesh, x)
+        for _ in range(3):
+            ts, m = step(ts, xs)
+            losses.append(float(m["loss"]))
+        return losses, jax.device_get(ts.params)
+
+    losses_1, params_1 = run(make_mesh(1))
+    losses_8, params_8 = run(make_mesh(8))
+    np.testing.assert_allclose(losses_1, losses_8, rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(params_1),
+                    jax.tree_util.tree_leaves(params_8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)
+
+
+def test_evaluate_best_of_n():
+    ts = train_lib.init_train_state(jax.random.PRNGKey(4), TINY, HP)
+    eval_batch = train_lib.make_eval_batch(TINY, HP, nt=4)
+    x = synth_batch(nt=4, bsz=4, seed=3)
+    pred_psnr = eval_batch(ts.params, ts.bn_state, x, jax.random.PRNGKey(0))
+    assert pred_psnr.shape == (4,)
+    assert np.all(np.isfinite(np.asarray(pred_psnr)))
+    # best-of-N is at least as good as any single deterministic-key sample
+    val = train_lib.evaluate(eval_batch, ts.params, ts.bn_state,
+                             iter([np.asarray(x)]), 1, jax.random.PRNGKey(1))
+    assert np.isfinite(val)
