@@ -1,0 +1,183 @@
+"""Evaluation machinery for test.py: best/worst-of-N sampling with metrics.
+
+Protocol parity with /root/reference/test.py:219-319:
+  * per batch: encode conditioning frames once (skips from the last frame),
+    then N stochastic rollouts; per sample compute PSNR / SSIM (/ LPIPS)
+    per video; keep the best and worst sample per metric per video, the
+    first five samples, and the first sample's conditioning reconstruction
+  * inference over conditioning frames uses the TRAINING Euler step count,
+    generation uses the eval-time one (test.py:239,244)
+
+TPU re-design: the deterministic conditioning work (encoder, content w,
+LSTM inputs) is hoisted OUT of the sample loop (the reference recomputes it
+for each of the 100 samples); the sample axis is vmapped and processed in
+jit-compiled chunks; best/worst bookkeeping happens host-side on the chunk
+results (reference semantics, test.py:91-142).
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from srvp_tpu.metrics.pixel import frame_mse
+from srvp_tpu.metrics.ssim import video_ssim
+from srvp_tpu.models import srvp
+
+LOWER_BETTER = {"mse": True, "fvd": True, "lpips": True, "psnr": False, "ssim": False}
+
+
+def make_test_chunk(cfg, nt_cond, nt_test, o_inf, o_gen, compute_dtype=jnp.float32,
+                    lpips_fn=None):
+    """Builds the jitted per-chunk sampler.
+
+    Returns fn(params, bn_state, x_cond, x_target, keys) ->
+      (x_pred_u8 (S, B, T_pred, H, W, C), x_rec_u8 (B, T_cond, ...),
+       metrics {psnr, ssim[, lpips]: (S, B)})
+    """
+
+    @jax.jit
+    def test_chunk(params, bn_state, x_cond, x_target, keys):
+        x_cond = x_cond.astype(compute_dtype)
+        # ---- deterministic conditioning work, shared across samples ----
+        hx, skips, _ = srvp.encode(cfg, params, bn_state, x_cond, train=False)
+        hx32 = hx.astype(jnp.float32)
+        w = srvp.infer_w(cfg, params, hx32, train=False)
+
+        def one(k):
+            k_y, k_inf, k_gen = jax.random.split(k, 3)
+            y_0, _ = srvp.infer_y(cfg, params, hx32[: cfg.nt_inf], k_y)
+            # inference rollout over conditioning frames (training dt)
+            gen_inf = srvp.generate(cfg, params, y_0, hx32, nt_cond,
+                                    oversampling=o_inf, rng=k_inf, train=False)
+            x_rec, _ = srvp.decode(cfg, params, bn_state,
+                                   w.astype(compute_dtype),
+                                   gen_inf.y.astype(compute_dtype),
+                                   skips, train=False)
+            # pure prior rollout from the last inferred state (eval dt)
+            gen = srvp.generate(cfg, params, gen_inf.y[-1], None,
+                                nt_test - nt_cond + 1, oversampling=o_gen,
+                                rng=k_gen, train=False)
+            x_pred, _ = srvp.decode(cfg, params, bn_state,
+                                    w.astype(compute_dtype),
+                                    gen.y[1:].astype(compute_dtype),
+                                    skips, train=False)
+            x_pred = jnp.clip(x_pred.astype(jnp.float32), 0.0, 1.0)
+
+            mse = frame_mse(x_pred, x_target)                      # (T, B, C)
+            psnr = (10 * jnp.log10(1.0 / mse)).mean(2).mean(0)     # (B,)
+            ssim_v = video_ssim(x_pred, x_target).mean(2).mean(0)  # (B,)
+            metrics = {"psnr": psnr, "ssim": ssim_v}
+            if lpips_fn is not None:
+                metrics["lpips"] = lpips_fn(x_pred, x_target).mean(0)
+            return _to_u8(x_pred), _to_u8(x_rec.astype(jnp.float32)), metrics
+
+        x_pred_u8, x_rec_u8, metrics = jax.vmap(one)(keys)
+        return x_pred_u8, x_rec_u8[0], metrics
+
+    return test_chunk
+
+
+def _to_u8(x):
+    """float [0,1] (T,B,H,W,C) -> uint8 (B,T,H,W,C), torch .mul(255).byte()
+    truncation semantics (test.py:226,255)."""
+    return jnp.transpose(x * 255.0, (1, 0, 2, 3, 4)).astype(jnp.uint8)
+
+
+def _better(name, ref, hyp):
+    return hyp < ref if LOWER_BETTER[name] else hyp > ref
+
+
+class BestWorstTracker:
+    """Host-side per-video best/worst sample bookkeeping (test.py:260-277)."""
+
+    def __init__(self, metric_names):
+        self.names = list(metric_names)
+        self.metric_best = {}
+        self.sample_best = {}
+        self.metric_worst = {}
+        self.sample_worst = {}
+
+    def update(self, metrics, samples):
+        """metrics: {name: (S, B)}; samples: (S, B, T, H, W, C) uint8."""
+        for name in self.names:
+            vals = np.asarray(metrics[name])
+            for s in range(vals.shape[0]):
+                v, x = vals[s], np.asarray(samples[s])
+                if name not in self.metric_best:
+                    self.metric_best[name] = v.copy()
+                    self.sample_best[name] = x.copy()
+                    self.metric_worst[name] = v.copy()
+                    self.sample_worst[name] = x.copy()
+                    continue
+                ib = _better(name, self.metric_best[name], v)
+                self.metric_best[name][ib] = v[ib]
+                self.sample_best[name][ib] = x[ib]
+                iw = _better(name, v, self.metric_worst[name])
+                self.metric_worst[name][iw] = v[iw]
+                self.sample_worst[name][iw] = x[iw]
+
+
+def run_test(test_chunk_fn, params, bn_state, loader, nt_cond, nt_test,
+             n_samples, chunk, base_key, metric_names, device_put=None,
+             progress=True):
+    """Full evaluation loop. Returns (results, samples_dict, cond, gt):
+    results {name: (N,) best-per-video}, samples_dict holds artifact arrays
+    keyed like the reference npz outputs."""
+    chunk = min(chunk, n_samples)
+    assert n_samples % chunk == 0
+    n_chunks = n_samples // chunk
+    n_random = min(5, n_samples)
+    random_samples = [[] for _ in range(n_random)]
+    cond, cond_rec, gt = [], [], []
+    results = {name: [] for name in metric_names}
+    best_samples = {name: [] for name in metric_names}
+    worst_samples = {name: [] for name in metric_names}
+
+    for b_idx, batch in enumerate(loader):
+        x = np.asarray(batch)[:nt_test]
+        x_cond = jnp.asarray(x[:nt_cond])
+        x_target = jnp.asarray(x[nt_cond:])
+        if device_put is not None:
+            x_cond, x_target = device_put(x_cond), device_put(x_target)
+        cond.append(_host_u8(x[:nt_cond]))
+        gt.append(_host_u8(x[nt_cond:]))
+
+        tracker = BestWorstTracker(metric_names)
+        for c in range(n_chunks):
+            keys = jax.random.split(
+                jax.random.fold_in(jax.random.fold_in(base_key, b_idx), c), chunk)
+            x_pred_u8, x_rec_u8, metrics = test_chunk_fn(
+                params, bn_state, x_cond, x_target, keys)
+            x_pred_u8 = np.asarray(x_pred_u8)
+            if c == 0:
+                cond_rec.append(np.asarray(x_rec_u8))
+            for s_local in range(chunk):
+                s_global = c * chunk + s_local
+                if s_global < n_random:
+                    random_samples[s_global].append(x_pred_u8[s_local])
+            tracker.update(metrics, x_pred_u8)
+        for name in metric_names:
+            results[name].append(tracker.metric_best[name])
+            best_samples[name].append(tracker.sample_best[name])
+            worst_samples[name].append(tracker.sample_worst[name])
+        if progress:
+            print(f"  batch {b_idx + 1} done", flush=True)
+
+    samples = {f"random_{i + 1}": np.concatenate(random_samples[i])
+               for i in range(n_random)}
+    samples["cond_rec"] = np.concatenate(cond_rec)
+    for name in metric_names:
+        samples[f"{name}_best"] = np.concatenate(best_samples[name])
+        samples[f"{name}_worst"] = np.concatenate(worst_samples[name])
+        results[name] = np.concatenate(results[name])
+    cond = np.concatenate(cond)
+    gt = np.concatenate(gt)
+    return results, samples, cond, gt
+
+
+def _host_u8(x):
+    """float (T,B,H,W,C) -> uint8 (B,T,H,W,C)."""
+    return np.transpose((np.asarray(x) * 255.0).astype(np.uint8), (1, 0, 2, 3, 4))
