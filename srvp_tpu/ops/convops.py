@@ -19,17 +19,21 @@ from jax import lax
 _DIMS = ("NHWC", "HWIO", "NHWC")
 
 
-def conv2d(x, w, stride=1, padding=0, accum_dtype=jnp.float32):
-    """torch.nn.functional.conv2d equivalent. x: NHWC, w: HWIO."""
+def conv2d(x, w, stride=1, padding=0):
+    """torch.nn.functional.conv2d equivalent. x: NHWC, w: HWIO.
+
+    Output dtype == input dtype; for bf16 inputs the TPU MXU accumulates in
+    fp32 internally. (An explicit fp32 preferred_element_type would break the
+    conv transpose rule under autodiff with mixed dtypes.)
+    """
     s = (stride, stride) if isinstance(stride, int) else stride
     p = [(padding, padding)] * 2 if isinstance(padding, int) else padding
     return lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=s, padding=p,
-        dimension_numbers=_DIMS, preferred_element_type=accum_dtype,
-    ).astype(x.dtype)
+        dimension_numbers=_DIMS)
 
 
-def conv_transpose2d(x, w, stride=1, padding=0, accum_dtype=jnp.float32):
+def conv_transpose2d(x, w, stride=1, padding=0):
     """torch.nn.functional.conv_transpose2d equivalent.
 
     x: NHWC; w: HWIO with I = x channels, O = output channels.
@@ -42,8 +46,7 @@ def conv_transpose2d(x, w, stride=1, padding=0, accum_dtype=jnp.float32):
     pads = [(kh - 1 - p[0], kh - 1 - p[0]), (kw - 1 - p[1], kw - 1 - p[1])]
     return lax.conv_general_dilated(
         x, w_flipped, window_strides=(1, 1), padding=pads, lhs_dilation=s,
-        dimension_numbers=_DIMS, preferred_element_type=accum_dtype,
-    ).astype(x.dtype)
+        dimension_numbers=_DIMS)
 
 
 def max_pool2d(x, window=2, stride=2):
