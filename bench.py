@@ -27,8 +27,8 @@ BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 
 SEQ_LEN = 15
 BATCH = 128
-STEPS = 20
-WARMUP = 3
+STEPS = 50
+WARMUP = 5
 
 
 def make_batch(seed=0):
@@ -59,11 +59,14 @@ def bench_ours():
 
     for _ in range(WARMUP):
         ts, metrics = step(ts, x)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(STEPS):
         ts, metrics = step(ts, x)
-    jax.block_until_ready(metrics["loss"])
+    # Fetch the final VALUE: step N's loss depends on step N-1's params, so
+    # this forces the whole chain. (block_until_ready alone is not reliable
+    # on the tunneled axon platform.)
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
     fps = SEQ_LEN * BATCH * STEPS / dt
     return fps / n_chips, {"backend": jax.default_backend(), "chips": n_chips,

@@ -25,28 +25,47 @@ from srvp_tpu.data.base import VideoDataset
 EPS = 1e-8
 
 
-def load_mnist_images(data_dir, train=True, missing_ok=False):
-    """Reads MNIST IDX image files from common layouts under data_dir."""
-    name = "train-images-idx3-ubyte" if train else "t10k-images-idx3-ubyte"
+def _find_idx(data_dir, name):
     candidates = [
         os.path.join(data_dir, name),
         os.path.join(data_dir, name + ".gz"),
         os.path.join(data_dir, "MNIST", "raw", name),
         os.path.join(data_dir, "MNIST", "raw", name + ".gz"),
     ]
-    for path in candidates:
-        if os.path.exists(path):
-            opener = gzip.open if path.endswith(".gz") else open
-            with opener(path, "rb") as f:
-                magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
-                assert magic == 2051, f"bad IDX magic in {path}"
-                buf = f.read(n * rows * cols)
-            arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, rows, cols)
-            return [arr[i] for i in range(n)]
-    if missing_ok:
-        return None
-    raise FileNotFoundError(
-        f"MNIST IDX images not found under {data_dir} (tried {candidates})")
+    return next((p for p in candidates if os.path.exists(p)), None), candidates
+
+
+def load_mnist_images(data_dir, train=True, missing_ok=False):
+    """Reads MNIST IDX image files from common layouts under data_dir."""
+    name = "train-images-idx3-ubyte" if train else "t10k-images-idx3-ubyte"
+    path, candidates = _find_idx(data_dir, name)
+    if path is None:
+        if missing_ok:
+            return None
+        raise FileNotFoundError(
+            f"MNIST IDX images not found under {data_dir} (tried {candidates})")
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
+        assert magic == 2051, f"bad IDX magic in {path}"
+        buf = f.read(n * rows * cols)
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, rows, cols)
+    return [arr[i] for i in range(n)]
+
+
+def load_mnist_labels(data_dir, train=True):
+    """Reads MNIST IDX label files."""
+    name = "train-labels-idx1-ubyte" if train else "t10k-labels-idx1-ubyte"
+    path, candidates = _find_idx(data_dir, name)
+    if path is None:
+        raise FileNotFoundError(
+            f"MNIST IDX labels not found under {data_dir} (tried {candidates})")
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        magic, n = struct.unpack(">II", f.read(8))
+        assert magic == 2049, f"bad IDX magic in {path}"
+        buf = f.read(n)
+    return np.frombuffer(buf, dtype=np.uint8)
 
 
 def synthetic_digits(n, rng, size=28):
