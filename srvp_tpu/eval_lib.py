@@ -30,52 +30,81 @@ LOWER_BETTER = {"mse": True, "fvd": True, "lpips": True, "psnr": False, "ssim": 
 
 
 def make_test_chunk(cfg, nt_cond, nt_test, o_inf, o_gen, compute_dtype=jnp.float32,
-                    lpips_fn=None):
+                    lpips_fn=None, use_fused_rollout=False):
     """Builds the jitted per-chunk sampler.
+
+    TPU structure: instead of vmapping S independent small-model passes (the
+    reference's Python loop), the S-sample axis is FOLDED into the batch so
+    every conv/matmul sees an (S*B)-row batch — full MXU tiles. The
+    deterministic conditioning work (encoder, content w, z-LSTM) runs once on
+    B rows and is broadcast. With use_fused_rollout, the prior rollout runs
+    in the weights-stationary Pallas kernel.
 
     Returns fn(params, bn_state, x_cond, x_target, keys) ->
       (x_pred_u8 (S, B, T_pred, H, W, C), x_rec_u8 (B, T_cond, ...),
        metrics {psnr, ssim[, lpips]: (S, B)})
     """
+    from srvp_tpu.models.lstm import lstm_apply
 
     @jax.jit
     def test_chunk(params, bn_state, x_cond, x_target, keys):
-        x_cond = x_cond.astype(compute_dtype)
-        # ---- deterministic conditioning work, shared across samples ----
-        hx, skips, _ = srvp.encode(cfg, params, bn_state, x_cond, train=False)
+        n_samples = keys.shape[0]
+        bsz = x_cond.shape[1]
+        x_cond_c = x_cond.astype(compute_dtype)
+        # ---- deterministic conditioning work, computed ONCE ----
+        hx, skips, _ = srvp.encode(cfg, params, bn_state, x_cond_c, train=False)
         hx32 = hx.astype(jnp.float32)
         w = srvp.infer_w(cfg, params, hx32, train=False)
+        hx_z = lstm_apply(params["inf_z"], hx32)
 
-        def one(k):
-            k_y, k_inf, k_gen = jax.random.split(k, 3)
-            y_0, _ = srvp.infer_y(cfg, params, hx32[: cfg.nt_inf], k_y)
-            # inference rollout over conditioning frames (training dt)
-            gen_inf = srvp.generate(cfg, params, y_0, hx32, nt_cond,
-                                    oversampling=o_inf, rng=k_inf, train=False)
-            x_rec, _ = srvp.decode(cfg, params, bn_state,
-                                   w.astype(compute_dtype),
-                                   gen_inf.y.astype(compute_dtype),
-                                   skips, train=False)
-            # pure prior rollout from the last inferred state (eval dt)
+        # ---- fold the sample axis into the batch ----
+        hx32_f = jnp.tile(hx32, (1, n_samples, 1))
+        hx_z_f = jnp.tile(hx_z, (1, n_samples, 1))
+        w_f = jnp.tile(w, (n_samples, 1))
+        skips_f = None
+        if skips is not None:
+            skips_f = [jnp.tile(s, (n_samples,) + (1,) * (s.ndim - 1))
+                       for s in skips]
+
+        k_y, k_inf, k_gen = jax.random.split(keys[0], 3)
+        y_0, _ = srvp.infer_y(cfg, params, hx32_f[: cfg.nt_inf], k_y)
+        # inference rollout over conditioning frames (training dt)
+        gen_inf = srvp.generate(cfg, params, y_0, None, nt_cond,
+                                oversampling=o_inf, rng=k_inf, train=False,
+                                hx_z=hx_z_f)
+        # conditioning reconstruction: only sample 0 is kept (test.py:241-242)
+        x_rec, _ = srvp.decode(cfg, params, bn_state, w.astype(compute_dtype),
+                               gen_inf.y[:, :bsz].astype(compute_dtype),
+                               skips, train=False)
+        # pure prior rollout from the last inferred state (eval dt)
+        if use_fused_rollout:
+            gen = srvp.generate_prior_fused(cfg, params, gen_inf.y[-1],
+                                            nt_test - nt_cond + 1,
+                                            oversampling=o_gen, rng=k_gen)
+        else:
             gen = srvp.generate(cfg, params, gen_inf.y[-1], None,
                                 nt_test - nt_cond + 1, oversampling=o_gen,
                                 rng=k_gen, train=False)
-            x_pred, _ = srvp.decode(cfg, params, bn_state,
-                                    w.astype(compute_dtype),
-                                    gen.y[1:].astype(compute_dtype),
-                                    skips, train=False)
-            x_pred = jnp.clip(x_pred.astype(jnp.float32), 0.0, 1.0)
+        x_pred, _ = srvp.decode(cfg, params, bn_state, w_f.astype(compute_dtype),
+                                gen.y[1:].astype(compute_dtype),
+                                skips_f, train=False)
+        x_pred = jnp.clip(x_pred.astype(jnp.float32), 0.0, 1.0)  # (T, S*B, ...)
 
-            mse = frame_mse(x_pred, x_target)                      # (T, B, C)
-            psnr = (10 * jnp.log10(1.0 / mse)).mean(2).mean(0)     # (B,)
-            ssim_v = video_ssim(x_pred, x_target).mean(2).mean(0)  # (B,)
-            metrics = {"psnr": psnr, "ssim": ssim_v}
-            if lpips_fn is not None:
-                metrics["lpips"] = lpips_fn(x_pred, x_target).mean(0)
-            return _to_u8(x_pred), _to_u8(x_rec.astype(jnp.float32)), metrics
+        t_pred = x_pred.shape[0]
+        x_target_f = jnp.tile(x_target, (1, n_samples) + (1,) * (x_target.ndim - 2))
+        mse = frame_mse(x_pred, x_target_f)                       # (T, S*B, C)
+        psnr = (10 * jnp.log10(1.0 / mse)).mean(2).mean(0)        # (S*B,)
+        ssim_v = video_ssim(x_pred, x_target_f).mean(2).mean(0)   # (S*B,)
+        metrics = {"psnr": psnr.reshape(n_samples, bsz),
+                   "ssim": ssim_v.reshape(n_samples, bsz)}
+        if lpips_fn is not None:
+            metrics["lpips"] = lpips_fn(x_pred, x_target_f).mean(0) \
+                .reshape(n_samples, bsz)
 
-        x_pred_u8, x_rec_u8, metrics = jax.vmap(one)(keys)
-        return x_pred_u8, x_rec_u8[0], metrics
+        x_pred_u8 = jnp.transpose(x_pred * 255.0, (1, 0, 2, 3, 4)) \
+            .astype(jnp.uint8).reshape((n_samples, bsz, t_pred)
+                                       + x_pred.shape[2:])
+        return x_pred_u8, _to_u8(x_rec.astype(jnp.float32)), metrics
 
     return test_chunk
 

@@ -241,19 +241,23 @@ def rollout_masks(nt, oversampling, nt_hx):
 
 
 def generate(cfg, params, y_0, hx, nt, *, oversampling=1, rng=None, train=False,
-             remove_intermediate=True):
+             remove_intermediate=True, hx_z=None):
     """Euler rollout of the latent state as one `lax.scan`.
 
     y_0: (B, ny). hx: (nt_hx, B, nhx) frame encodings or None (pure prior
     mode, reference test.py:244). nt: number of integer-time states including
-    y_0. dt = 1/oversampling.
+    y_0. dt = 1/oversampling. hx_z optionally provides precomputed z-LSTM
+    outputs (nt_hx, B, nh_inf) — used by the evaluator to hoist the LSTM out
+    of the folded sample axis; when given, hx may be None and only
+    hx_z.shape[0] matters.
 
     Returns GenerateOutput; components are float32.
     """
     assert oversampling >= 1
     dt = 1.0 / oversampling
     bsz = y_0.shape[0]
-    nt_hx = 0 if hx is None else hx.shape[0]
+    nt_hx = (hx_z.shape[0] if hx_z is not None
+             else (0 if hx is None else hx.shape[0]))
     t_data, new_step, use_post, keep_integer = rollout_masks(nt, oversampling, nt_hx)
     n_steps = len(t_data)
     if train:
@@ -270,7 +274,8 @@ def generate(cfg, params, y_0, hx, nt, *, oversampling=1, rng=None, train=False,
 
     # LSTM pass over the frame encodings for posterior z (reference srvp.py:364-368).
     if nt_hx > 0:
-        hx_z = lstmlib.lstm_apply(params["inf_z"], hx.astype(jnp.float32))
+        if hx_z is None:
+            hx_z = lstmlib.lstm_apply(params["inf_z"], hx.astype(jnp.float32))
         # Per-substep gather of the LSTM output used when an observation exists.
         gather_idx = np.clip(t_data, 0, nt_hx - 1)
         hx_z_steps = hx_z[gather_idx]
@@ -312,6 +317,40 @@ def generate(cfg, params, y_0, hx, nt, *, oversampling=1, rng=None, train=False,
     p_z_params = p_pars[new_idx] if len(new_idx) else None
     q_z_params = q_pars[post_idx] if len(post_idx) else None
     return GenerateOutput(y, z, q_z_params, p_z_params, res)
+
+
+def generate_prior_fused(cfg, params, y_0, nt, *, oversampling=1, rng=None,
+                         remove_intermediate=True, interpret=False):
+    """Pure-prior rollout through the fused Pallas kernel
+    (srvp_tpu.ops.pallas.rollout): weights stay VMEM-resident across all
+    Euler substeps. Key schedule matches `generate`'s scan, so both paths
+    sample identical trajectories for the same rng.
+
+    Returns GenerateOutput with z/q/p params None (the test.py generation
+    path only consumes y, reference test.py:244).
+    """
+    from srvp_tpu.ops.pallas.rollout import prior_rollout_fused
+
+    n_steps = oversampling * (nt - 1)
+    bsz = y_0.shape[0]
+    if n_steps == 0:
+        return GenerateOutput(y_0[None].astype(jnp.float32), None, None, None,
+                              jnp.zeros((0, bsz, cfg.ny), jnp.float32))
+    keys = jax.random.split(rng, n_steps)
+    k_pri = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+    eps = jax.vmap(lambda k: jax.random.normal(k, (bsz, cfg.nz)))(k_pri)
+    ys = prior_rollout_fused(params["p_z"], params["dynamics"],
+                             y_0.astype(jnp.float32), eps, cfg.ny, cfg.nz,
+                             oversampling=oversampling, interpret=interpret)
+    y_all = jnp.concatenate([y_0[None].astype(jnp.float32), ys], axis=0)
+    res = ys - y_all[:-1]
+    if remove_intermediate:
+        _, _, _, keep = rollout_masks(nt, oversampling, 0)
+        keep_idx = np.flatnonzero(keep)
+        y = jnp.concatenate([y_all[:1], ys[keep_idx]], axis=0)
+    else:
+        y = y_all
+    return GenerateOutput(y, None, None, None, res)
 
 
 # ---------------------------------------------------------------------------

@@ -54,6 +54,10 @@ def create_test_args():
     p.add("--test_seed", type=int, metavar="SEED", default=1, help="Manual seed.")
     p.add("--samples_chunk", type=int, metavar="NB", default=10,
           help="Samples evaluated per jit-compiled chunk.")
+    p.add("--fused_rollout", type=str, default="auto",
+          choices=["auto", "on", "off"],
+          help="Use the weights-stationary Pallas kernel for the prior "
+               "rollout (auto: on TPU backends only).")
     return p
 
 
@@ -94,8 +98,11 @@ def main(opt):
 
     # ----- evaluation -----
     print("Evaluation...")
+    fused = opt.get("fused_rollout", "auto") if hasattr(opt, "get") else "auto"
+    use_fused = (jax.default_backend() == "tpu") if fused == "auto" else fused == "on"
     test_chunk = eval_lib.make_test_chunk(cfg, nt_cond, nt_test, o_inf, o_gen,
-                                          lpips_fn=lpips_fn)
+                                          lpips_fn=lpips_fn,
+                                          use_fused_rollout=use_fused)
     results, samples, cond, gt = eval_lib.run_test(
         test_chunk, params, bn_state, iter(loader), nt_cond, nt_test,
         opt.n_samples, opt.samples_chunk, jax.random.PRNGKey(opt.test_seed),
