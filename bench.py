@@ -39,6 +39,8 @@ def make_batch(seed=0):
 def bench_ours():
     import jax
     import jax.numpy as jnp
+    from srvp_tpu.utils.runtime import setup_compilation_cache
+    setup_compilation_cache()
     from srvp_tpu import train_lib
     from srvp_tpu.models.srvp import SRVPConfig
     from srvp_tpu.parallel import make_mesh, replicated, shard_batch

@@ -48,6 +48,8 @@ def train_hparams(opt):
 
 def main(opt):
     # ----- setup (reference train.py:204-237) -----
+    from srvp_tpu.utils.runtime import MetricsLogger, setup_compilation_cache
+    setup_compilation_cache()
     if opt.seed is None:
         opt.seed = random.randint(1, 10000)
     assert isinstance(opt.seed, int) and opt.seed > 0
@@ -88,6 +90,7 @@ def main(opt):
 
     os.makedirs(opt.save_path, exist_ok=True)
     save_json({k: v for k, v in opt.items()}, os.path.join(opt.save_path, "config.json"))
+    mlog = MetricsLogger(os.path.join(opt.save_path, "metrics.jsonl"))
 
     train_step = train_lib.make_train_step(cfg, hp)
     eval_batch = train_lib.make_eval_batch(cfg, hp, nt=seq_len_val)
@@ -127,6 +130,7 @@ def main(opt):
                       f"kl_z={m['kl_z']:.4f} lr={m['lr']:.2e} "
                       f"fps={fps:.0f} val={val_metric} best={best_val_metric}",
                       flush=True)
+                mlog.log(itr, fps=fps, **m)
 
             if itr % opt.val_interval == 0:
                 val_metric = train_lib.evaluate(
@@ -134,6 +138,7 @@ def main(opt):
                     opt.n_iter_test, jax.random.fold_in(eval_key, itr),
                     shard_fn=lambda b: shard_batch(mesh, b))
                 print(f"[{itr}] val_metric (-PSNR): {val_metric:.4f}", flush=True)
+                mlog.log(itr, val_metric=val_metric)
                 if best_val_metric is None or best_val_metric > val_metric:
                     best_val_metric = val_metric
                     ckpt.save_model(opt.save_path, "model_best", ts.params,
@@ -150,5 +155,6 @@ def main(opt):
     print("Saving...")
     ckpt.save_model(opt.save_path, "model", ts.params, ts.bn_state)
     ckpt.save_train_state(opt.save_path, jax.device_get(ts))
+    mlog.close()
     print("Done")
     return status_code

@@ -1,0 +1,43 @@
+"""Runtime utilities: persistent compilation cache, structured metric logs.
+
+First TPU compilation of the full train step is ~1-3 minutes; the persistent
+cache makes every subsequent process start instantly (SURVEY.md §5 tracing/
+observability upgrades — the reference has none of this).
+"""
+
+import json
+import os
+import time
+
+
+def setup_compilation_cache(cache_dir=None):
+    """Enables JAX's persistent compilation cache (idempotent)."""
+    import jax
+    cache_dir = cache_dir or os.environ.get(
+        "SRVP_TPU_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "srvp_tpu_jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"compilation cache disabled: {e}")
+    return cache_dir
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics stream (step-structured observability)."""
+
+    def __init__(self, path):
+        self.path = path
+        self._f = open(path, "a", buffering=1)
+        self._t0 = time.time()
+
+    def log(self, step, **metrics):
+        rec = {"step": int(step), "wall_s": round(time.time() - self._t0, 3)}
+        for k, v in metrics.items():
+            rec[k] = float(v) if hasattr(v, "__float__") else v
+        self._f.write(json.dumps(rec) + "\n")
+
+    def close(self):
+        self._f.close()

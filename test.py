@@ -62,6 +62,8 @@ def create_test_args():
 
 
 def main(opt):
+    from srvp_tpu.utils.runtime import setup_compilation_cache
+    setup_compilation_cache()
     # ----- experiment config (reference test.py:174-181) -----
     xp_config = load_json(os.path.join(opt.xp_dir, "config.json"))
     nt_cond = opt.nt_cond if opt.nt_cond is not None else xp_config.nt_cond
