@@ -46,6 +46,15 @@ def collate(videos):
     return np.ascontiguousarray(batch, dtype=np.float32) / 255.0
 
 
+def collate_uint8(videos):
+    """uint8 videos -> uint8 (T, B, H, W, C). The [0,1] float conversion
+    happens ON DEVICE (srvp_tpu.objectives), so host->device transfers ship
+    4x fewer bytes — the TPU input-pipeline pattern (frames stay uint8 until
+    the last moment)."""
+    batch = np.stack([v if v.ndim == 4 else v[..., None] for v in videos], axis=1)
+    return np.ascontiguousarray(batch)
+
+
 class VideoDataset:
     """Abstract video dataset; subclasses provide `data`, `train`,
     `get_item(index, rng)` and `_filter(data)`."""

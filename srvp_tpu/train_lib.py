@@ -116,6 +116,8 @@ def make_eval_batch(cfg, hp, nt, n_samples=None):
 
     @jax.jit
     def eval_batch(params, bn_state, x, key):
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
         x_inf = x[: hp.nt_cond]
 
         def sample_metrics(k):
