@@ -49,12 +49,14 @@ class DataLoader:
         epoch = self.epoch
         self.epoch += 1
 
+        def item_seed(pos):
+            return (self.seed * 1_000_003 + epoch * 7_777_777 + pos) % (2**31 - 1)
+
         def fetch(pos):
             idx = int(order[pos])
-            rng = np.random.RandomState(
-                (self.seed * 1_000_003 + epoch * 7_777_777 + pos) % (2**31 - 1))
-            return self.dataset.get_item(idx, rng)
+            return self.dataset.get_item(idx, np.random.RandomState(item_seed(pos)))
 
+        native_fn = getattr(self.dataset, "get_batch_seeded", None)
         out_q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -65,7 +67,15 @@ class DataLoader:
                         return
                     lo = b * self.batch_size
                     hi = min(lo + self.batch_size, len(order))
-                    items = list(pool.map(fetch, range(lo, hi)))
+                    items = None
+                    if native_fn is not None:
+                        arr = native_fn([int(order[p]) for p in range(lo, hi)],
+                                        [item_seed(p) for p in range(lo, hi)],
+                                        self.num_workers)
+                        if arr is not None:
+                            items = list(arr)
+                    if items is None:
+                        items = list(pool.map(fetch, range(lo, hi)))
                     out_q.put(self.collate_fn(items))
             out_q.put(None)
 

@@ -202,6 +202,17 @@ class MovingMNIST(VideoDataset):
                 x[t, sx:sx + img.shape[0], sy:sy + img.shape[1]] += img
         return np.minimum(x, 255).astype(np.uint8)
 
+    def get_batch_seeded(self, indices, seeds, n_threads=4):
+        """Native C++ batch generation (bit-identical to get_item with
+        RandomState(seed)); returns None when the native engine is absent
+        or in test mode, and the loader falls back to per-item Python."""
+        if not self.train:
+            return None
+        from srvp_tpu.native import mmnist_generate_batch
+        return mmnist_generate_batch(self.data, self.frame_size, self.seq_len,
+                                     self.max_speed, self.deterministic,
+                                     self.num_digits, seeds, n_threads)
+
     @classmethod
     def make_dataset(cls, data_dir, nx, seq_len, max_speed, deterministic,
                      num_digits, train, allow_synthetic=False):

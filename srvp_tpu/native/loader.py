@@ -1,0 +1,105 @@
+"""Build-on-demand loader for the native C++ data engine.
+
+The shared library is compiled from native/*.cpp on first use (g++ -O3) and
+cached next to this module; everything degrades gracefully to the pure-Python
+paths when no compiler is available.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "mmnist_gen.cpp")
+_LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "_srvp_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build():
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+           _SRC, "-o", _LIB_PATH]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_native_lib():
+    """Returns the ctypes library or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_LIB_PATH)
+                    or (os.path.exists(_SRC)
+                        and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH))):
+                _build()
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.mmnist_generate_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib.mmnist_generate_batch.restype = None
+            _lib = lib
+        except Exception as e:
+            print(f"srvp_tpu native engine unavailable ({e}); "
+                  "falling back to Python data generation")
+            _lib = None
+        return _lib
+
+
+class _DigitPack:
+    """Digit images flattened for the C API (cached per dataset)."""
+
+    def __init__(self, digits):
+        self.n = len(digits)
+        self.offsets = np.zeros(self.n, np.int64)
+        self.hw = np.zeros((self.n, 2), np.int32)
+        chunks = []
+        off = 0
+        for i, d in enumerate(digits):
+            d = np.ascontiguousarray(d, np.uint8)
+            self.offsets[i] = off
+            self.hw[i] = d.shape
+            chunks.append(d.reshape(-1))
+            off += d.size
+        self.data = np.concatenate(chunks)
+
+
+_pack_cache = {}
+
+
+def mmnist_generate_batch(digits, frame_size, seq_len, max_speed,
+                          deterministic, num_digits, seeds, n_threads=4):
+    """Generates a batch of Moving MNIST videos natively.
+
+    Returns (batch, seq_len, H, W) uint8, bit-identical to the Python path
+    seeded with np.random.RandomState(seed) per item. None if the native
+    library is unavailable.
+    """
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    key = id(digits)
+    pack = _pack_cache.get(key)
+    if pack is None:
+        pack = _DigitPack(digits)
+        _pack_cache.clear()
+        _pack_cache[key] = pack
+    seeds = np.ascontiguousarray(seeds, np.uint32)
+    batch = len(seeds)
+    out = np.empty((batch, seq_len, frame_size, frame_size), np.uint8)
+    lib.mmnist_generate_batch(
+        pack.data.ctypes.data, pack.offsets.ctypes.data, pack.hw.ctypes.data,
+        pack.n, frame_size, seq_len, max_speed, int(deterministic),
+        num_digits, seeds.ctypes.data, batch, out.ctypes.data, n_threads)
+    return out
