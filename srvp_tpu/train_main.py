@@ -8,6 +8,7 @@ come from GSPMD sharding, not NCCL wrappers.
 
 import os
 import random
+import signal
 import sys
 import time
 
@@ -123,9 +124,16 @@ def main(opt):
             nxt = shard_batch(mesh, next(it))
             yield cur
 
+    # Graceful preemption: SIGTERM checkpoints the full train state and exits
+    # cleanly so --resume continues bit-identically (capability upgrade over
+    # the reference, which loses optimizer state on any interruption).
+    stop_requested = []
+    prev_handler = signal.signal(
+        signal.SIGTERM, lambda *_: stop_requested.append(True))
+
     try:
         for batch in device_batches():
-            if itr >= opt.n_iter:
+            if itr >= opt.n_iter or stop_requested:
                 break
             itr += 1
             if profile_dir and itr == 10:
@@ -166,6 +174,11 @@ def main(opt):
                 ckpt.save_train_state(opt.save_path, jax.device_get(ts))
     except KeyboardInterrupt:
         status_code = 130
+    finally:
+        signal.signal(signal.SIGTERM, prev_handler)
+    if stop_requested:
+        print("SIGTERM received: checkpointing and exiting")
+        status_code = 143
 
     # ----- final save (reference train.py:377-383) -----
     print("Saving...")
