@@ -140,9 +140,51 @@ def get_baseline():
     return data
 
 
+def bench_rollout():
+    """Generation throughput: prior rollout + decode, the test.py hot path
+    (folded 100-sample x 16-video batch, 25-frame horizon)."""
+    import jax
+    import jax.numpy as jnp
+    from srvp_tpu.models import srvp
+    from srvp_tpu.models.srvp import SRVPConfig
+
+    cfg = SRVPConfig(nx=64, nc=1, nf=64, nhx=128, ny=20, nz=20, skipco=False,
+                     nt_inf=5, nh_inf=256, nlayers_inf=3, nh_res=512,
+                     nlayers_res=4, archi="dcgan")
+    params, state = srvp.init(jax.random.PRNGKey(0), cfg)
+    on_tpu = jax.default_backend() == "tpu"
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
+    bsz, nt = 1600, 21  # 100 samples x 16 videos, 20 generated frames
+
+    @jax.jit
+    def rollout_decode(y0, w, rng):
+        if on_tpu:
+            gen = srvp.generate_prior_fused(cfg, params, y0, nt, rng=rng)
+        else:
+            gen = srvp.generate(cfg, params, y0, None, nt, rng=rng, train=False)
+        x, _ = srvp.decode(cfg, params, state, w.astype(dt),
+                           gen.y[1:].astype(dt), None, train=False)
+        return x
+
+    y0 = jnp.zeros((bsz, cfg.ny))
+    w = jnp.zeros((bsz, cfg.nh_inf))
+    rng = jax.random.PRNGKey(0)
+    x = rollout_decode(y0, w, rng)
+    _ = float(x.sum())
+    import time as _t
+    n = 10
+    t0 = _t.perf_counter()
+    for i in range(n):
+        x = rollout_decode(y0, w, jax.random.fold_in(rng, i))
+    _ = float(x.sum())
+    dtm = _t.perf_counter() - t0
+    return (nt - 1) * bsz * n / dtm
+
+
 def main():
     baseline = get_baseline()
     ours_fps, info = bench_ours()
+    rollout_fps = bench_rollout()
     vs = ours_fps / baseline["train_frames_per_sec"] if baseline else float("nan")
     print(json.dumps({
         "metric": "train_frames_per_sec_per_chip",
@@ -150,6 +192,7 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(vs, 2) if baseline else None,
         "ours": info,
+        "rollout_frames_per_sec_per_chip": round(rollout_fps, 1),
         "baseline": baseline,
         "config": {"dataset": "smmnist-synth", "archi": "dcgan",
                    "seq_len": SEQ_LEN, "batch": BATCH},
