@@ -42,8 +42,12 @@ def replicated(mesh):
 
 
 def shard_batch(mesh, batch, batch_axis=1):
-    """Places a host batch onto the mesh, sharded over the data axis."""
+    """Places a host batch onto the mesh, sharded over the data axis.
+
+    Batches whose batch axis does not divide the mesh (e.g. a small
+    validation batch) are placed replicated instead — correct, just not
+    distributed."""
     n = mesh.devices.size
-    assert batch.shape[batch_axis] % n == 0, (
-        f"batch axis {batch.shape[batch_axis]} not divisible by {n} devices")
+    if batch.shape[batch_axis] % n != 0:
+        return jax.device_put(batch, replicated(mesh))
     return jax.device_put(batch, batch_sharding(mesh, batch_axis, batch.ndim))

@@ -1,0 +1,54 @@
+"""Full train.py -> test.py roundtrip through the CLI surfaces (CPU, tiny)."""
+
+import numpy as np
+
+import test as test_cli
+import train as train_cli  # noqa: F401  (imports the CLI wiring)
+from srvp_tpu import args as args_mod
+from srvp_tpu.data.mmnist import MovingMNIST, synthetic_digits
+from srvp_tpu.helper import DotDict
+from srvp_tpu.train_main import main as train_main
+
+
+def test_train_then_test_roundtrip(tmp_path):
+    xp_dir = tmp_path / "xp"
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+
+    # precomputed test set in the reference npz format
+    gen = MovingMNIST(synthetic_digits(6, np.random.RandomState(0)),
+                      64, 6, 4, False, 2, True)
+    vids = np.stack([gen.get_item(0, np.random.RandomState(i))
+                     for i in range(4)])
+    np.savez_compressed(data_dir / "smmnist_test_2digits_64.npz",
+                        sequences=np.transpose(vids, (1, 0, 2, 3)))
+
+    # ---- train via the real flag parser (reference-style invocation) ----
+    argv = (f"--save_path {xp_dir} --dataset smmnist --data_dir {data_dir} "
+            "--ny 4 --nz 4 --nt_cond 3 --nt_inf 2 --nc 1 --seq_len 6 --seed 3 "
+            "--nf 4 --nhx 8 --nh_inf 8 --nlayers_inf 2 --nh_res 16 "
+            "--nlayers_res 2 --batch_size 8 --batch_size_test 4 --n_iter 6 "
+            "--val_interval 3 --n_iter_test 1 --n_samples_test 2 "
+            "--val_samples_chunk 2 --log_interval 3 --allow_synthetic "
+            "--n_workers 1 --seq_len_test 6").split()
+    opt = DotDict(vars(args_mod.create_args().parse_args(argv)))
+    assert train_main(opt) == 0
+    assert (xp_dir / "config.json").exists()
+    assert (xp_dir / "model.npz").exists()
+    assert (xp_dir / "model_best.npz").exists()
+
+    # ---- resume continues from the saved step ----
+    opt2 = DotDict(dict(opt))
+    opt2.resume = True
+    opt2.n_iter = 8
+    assert train_main(opt2) == 0
+
+    # ---- evaluate via test.py using the written config.json ----
+    topt = DotDict(xp_dir=str(xp_dir), data_dir=str(data_dir), lpips_dir=None,
+                   n_euler_steps=None, nt_cond=None, nt_gen=None, batch_size=4,
+                   n_samples=2, samples_chunk=2, model_name="model.npz",
+                   device=None, fvd=False, test_seed=1, fused_rollout="off")
+    test_cli.main(topt)
+    results = np.load(xp_dir / "results.npz")
+    assert results["psnr"].shape == (4,)
+    assert np.all(np.isfinite(results["psnr"]))
