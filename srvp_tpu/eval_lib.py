@@ -8,14 +8,17 @@ Protocol parity with /root/reference/test.py:219-319:
   * inference over conditioning frames uses the TRAINING Euler step count,
     generation uses the eval-time one (test.py:239,244)
 
-TPU re-design: the deterministic conditioning work (encoder, content w,
-LSTM inputs) is hoisted OUT of the sample loop (the reference recomputes it
-for each of the 100 samples); the sample axis is vmapped and processed in
-jit-compiled chunks; best/worst bookkeeping happens host-side on the chunk
-results (reference semantics, test.py:91-142).
+TPU re-design:
+  * the deterministic conditioning work (encoder, content w, z-LSTM) is
+    hoisted OUT of the sample loop (the reference recomputes it for each of
+    the 100 samples)
+  * the S-sample axis is FOLDED into the batch so every conv/matmul sees an
+    (S*B)-row batch — full MXU tiles; the prior rollout can use the
+    weights-stationary Pallas kernel
+  * best/worst/random selection runs ON DEVICE with a carried state, so only
+    the selected artifacts (≈11 videos/batch instead of all N samples) are
+    ever transferred to the host
 """
-
-from functools import partial
 
 import numpy as np
 
@@ -29,25 +32,12 @@ from srvp_tpu.models import srvp
 LOWER_BETTER = {"mse": True, "fvd": True, "lpips": True, "psnr": False, "ssim": False}
 
 
-def make_test_chunk(cfg, nt_cond, nt_test, o_inf, o_gen, compute_dtype=jnp.float32,
-                    lpips_fn=None, use_fused_rollout=False):
-    """Builds the jitted per-chunk sampler.
-
-    TPU structure: instead of vmapping S independent small-model passes (the
-    reference's Python loop), the S-sample axis is FOLDED into the batch so
-    every conv/matmul sees an (S*B)-row batch — full MXU tiles. The
-    deterministic conditioning work (encoder, content w, z-LSTM) runs once on
-    B rows and is broadcast. With use_fused_rollout, the prior rollout runs
-    in the weights-stationary Pallas kernel.
-
-    Returns fn(params, bn_state, x_cond, x_target, keys) ->
-      (x_pred_u8 (S, B, T_pred, H, W, C), x_rec_u8 (B, T_cond, ...),
-       metrics {psnr, ssim[, lpips]: (S, B)})
-    """
+def _build_compute(cfg, nt_cond, nt_test, o_inf, o_gen, compute_dtype,
+                   lpips_fn, use_fused_rollout):
+    """Returns the pure per-chunk sampler (unjitted)."""
     from srvp_tpu.models.lstm import lstm_apply
 
-    @jax.jit
-    def test_chunk(params, bn_state, x_cond, x_target, keys):
+    def compute(params, bn_state, x_cond, x_target, keys):
         n_samples = keys.shape[0]
         bsz = x_cond.shape[1]
         x_cond_c = x_cond.astype(compute_dtype)
@@ -106,8 +96,140 @@ def make_test_chunk(cfg, nt_cond, nt_test, o_inf, o_gen, compute_dtype=jnp.float
                                        + x_pred.shape[2:])
         return x_pred_u8, _to_u8(x_rec.astype(jnp.float32)), metrics
 
-    return test_chunk
+    return compute
 
+
+def make_test_chunk(cfg, nt_cond, nt_test, o_inf, o_gen, compute_dtype=jnp.float32,
+                    lpips_fn=None, use_fused_rollout=False):
+    """Jitted per-chunk sampler returning all frames + metrics.
+
+    fn(params, bn_state, x_cond, x_target, keys) ->
+      (x_pred_u8 (S, B, T_pred, H, W, C), x_rec_u8 (B, T_cond, ...),
+       metrics {psnr, ssim[, lpips]: (S, B)})
+    """
+    return jax.jit(_build_compute(cfg, nt_cond, nt_test, o_inf, o_gen,
+                                  compute_dtype, lpips_fn, use_fused_rollout))
+
+
+# ---------------------------------------------------------------------------
+# Device-side selection
+# ---------------------------------------------------------------------------
+
+def init_select_carry(metric_names, bsz, t_pred, t_cond, hw_c, n_random):
+    """Device carry for on-device best/worst tracking."""
+    carry = {"random": jnp.zeros((n_random, bsz, t_pred) + hw_c, jnp.uint8),
+             "rec": jnp.zeros((bsz, t_cond) + hw_c, jnp.uint8)}
+    for name in metric_names:
+        sign = 1.0 if LOWER_BETTER[name] else -1.0
+        carry[f"{name}_best_val"] = jnp.full((bsz,), sign * jnp.inf)
+        carry[f"{name}_worst_val"] = jnp.full((bsz,), -sign * jnp.inf)
+        carry[f"{name}_best_frm"] = jnp.zeros((bsz, t_pred) + hw_c, jnp.uint8)
+        carry[f"{name}_worst_frm"] = jnp.zeros((bsz, t_pred) + hw_c, jnp.uint8)
+    return carry
+
+
+def make_select_chunk(cfg, nt_cond, nt_test, o_inf, o_gen, metric_names,
+                      compute_dtype=jnp.float32, lpips_fn=None,
+                      use_fused_rollout=False, n_random=5):
+    """Jitted chunk step with on-device best/worst/random selection.
+
+    fn(carry, params, bn_state, x_cond, x_target, keys, chunk_start) -> carry.
+    Strictly-better replacement keeps the FIRST sample on ties, matching the
+    reference's iterative update (test.py:260-277).
+    """
+    compute = _build_compute(cfg, nt_cond, nt_test, o_inf, o_gen,
+                             compute_dtype, lpips_fn, use_fused_rollout)
+
+    @jax.jit
+    def select_chunk(carry, params, bn_state, x_cond, x_target, keys,
+                     chunk_start):
+        x_pred_u8, x_rec_u8, metrics = compute(params, bn_state, x_cond,
+                                               x_target, keys)
+        chunk = keys.shape[0]
+        carry = dict(carry)
+        carry["rec"] = jnp.where(chunk_start == 0, x_rec_u8, carry["rec"])
+        for s in range(chunk):
+            gid = chunk_start + s
+            frm = x_pred_u8[s]
+            for r in range(carry["random"].shape[0]):
+                carry["random"] = carry["random"].at[r].set(
+                    jnp.where(gid == r, frm, carry["random"][r]))
+            for name in metric_names:
+                v = metrics[name][s]
+                better = v < carry[f"{name}_best_val"] if LOWER_BETTER[name] \
+                    else v > carry[f"{name}_best_val"]
+                worse = v > carry[f"{name}_worst_val"] if LOWER_BETTER[name] \
+                    else v < carry[f"{name}_worst_val"]
+                bshape = better.reshape((-1,) + (1,) * (frm.ndim - 1))
+                wshape = worse.reshape((-1,) + (1,) * (frm.ndim - 1))
+                carry[f"{name}_best_val"] = jnp.where(
+                    better, v, carry[f"{name}_best_val"])
+                carry[f"{name}_best_frm"] = jnp.where(
+                    bshape, frm, carry[f"{name}_best_frm"])
+                carry[f"{name}_worst_val"] = jnp.where(
+                    worse, v, carry[f"{name}_worst_val"])
+                carry[f"{name}_worst_frm"] = jnp.where(
+                    wshape, frm, carry[f"{name}_worst_frm"])
+        return carry
+
+    return select_chunk
+
+
+def run_test_device(select_fn, params, bn_state, loader, nt_cond, nt_test,
+                    n_samples, chunk, base_key, metric_names, hw_c,
+                    progress=True):
+    """Evaluation loop with device-side selection: per batch, only the
+    selected artifacts are transferred (vs all n_samples in run_test)."""
+    chunk = min(chunk, n_samples)
+    assert n_samples % chunk == 0
+    n_chunks = n_samples // chunk
+    n_random = min(5, n_samples)
+    t_pred = nt_test - nt_cond
+    random_samples = [[] for _ in range(n_random)]
+    cond, cond_rec, gt = [], [], []
+    results = {name: [] for name in metric_names}
+    best_samples = {name: [] for name in metric_names}
+    worst_samples = {name: [] for name in metric_names}
+
+    for b_idx, batch in enumerate(loader):
+        x = np.asarray(batch)[:nt_test]
+        bsz = x.shape[1]
+        x_cond = jnp.asarray(x[:nt_cond])
+        x_target = jnp.asarray(x[nt_cond:])
+        cond.append(_host_u8(x[:nt_cond]))
+        gt.append(_host_u8(x[nt_cond:]))
+
+        carry = init_select_carry(metric_names, bsz, t_pred, nt_cond, hw_c,
+                                  n_random)
+        for c in range(n_chunks):
+            keys = jax.random.split(
+                jax.random.fold_in(jax.random.fold_in(base_key, b_idx), c), chunk)
+            carry = select_fn(carry, params, bn_state, x_cond, x_target, keys,
+                              jnp.int32(c * chunk))
+        carry = jax.device_get(carry)
+        cond_rec.append(carry["rec"])
+        for r in range(n_random):
+            random_samples[r].append(carry["random"][r])
+        for name in metric_names:
+            results[name].append(carry[f"{name}_best_val"])
+            best_samples[name].append(carry[f"{name}_best_frm"])
+            worst_samples[name].append(carry[f"{name}_worst_frm"])
+        if progress:
+            print(f"  batch {b_idx + 1} done", flush=True)
+
+    samples = {f"random_{i + 1}": np.concatenate(random_samples[i])
+               for i in range(n_random)}
+    samples["cond_rec"] = np.concatenate(cond_rec)
+    for name in metric_names:
+        samples[f"{name}_best"] = np.concatenate(best_samples[name])
+        samples[f"{name}_worst"] = np.concatenate(worst_samples[name])
+        results[name] = np.concatenate(results[name]).astype(np.float32)
+    return results, samples, np.concatenate(cond), np.concatenate(gt)
+
+
+# ---------------------------------------------------------------------------
+# Host-side selection (kept as the portable fallback / oracle for tests)
+# ---------------------------------------------------------------------------
 
 def _to_u8(x):
     """float [0,1] (T,B,H,W,C) -> uint8 (B,T,H,W,C), torch .mul(255).byte()
@@ -152,9 +274,9 @@ class BestWorstTracker:
 def run_test(test_chunk_fn, params, bn_state, loader, nt_cond, nt_test,
              n_samples, chunk, base_key, metric_names, device_put=None,
              progress=True):
-    """Full evaluation loop. Returns (results, samples_dict, cond, gt):
-    results {name: (N,) best-per-video}, samples_dict holds artifact arrays
-    keyed like the reference npz outputs."""
+    """Host-selection evaluation loop. Returns (results, samples_dict, cond,
+    gt): results {name: (N,) best-per-video}, samples_dict holds artifact
+    arrays keyed like the reference npz outputs."""
     chunk = min(chunk, n_samples)
     assert n_samples % chunk == 0
     n_chunks = n_samples // chunk

@@ -102,13 +102,14 @@ def main(opt):
     print("Evaluation...")
     fused = opt.get("fused_rollout", "auto") if hasattr(opt, "get") else "auto"
     use_fused = (jax.default_backend() == "tpu") if fused == "auto" else fused == "on"
-    test_chunk = eval_lib.make_test_chunk(cfg, nt_cond, nt_test, o_inf, o_gen,
-                                          lpips_fn=lpips_fn,
-                                          use_fused_rollout=use_fused)
-    results, samples, cond, gt = eval_lib.run_test(
-        test_chunk, params, bn_state, iter(loader), nt_cond, nt_test,
+    select_chunk = eval_lib.make_select_chunk(cfg, nt_cond, nt_test, o_inf,
+                                              o_gen, metric_names,
+                                              lpips_fn=lpips_fn,
+                                              use_fused_rollout=use_fused)
+    results, samples, cond, gt = eval_lib.run_test_device(
+        select_chunk, params, bn_state, iter(loader), nt_cond, nt_test,
         opt.n_samples, opt.samples_chunk, jax.random.PRNGKey(opt.test_seed),
-        metric_names)
+        metric_names, (cfg.nx, cfg.nx, cfg.nc))
 
     # ----- FVD (reference test.py:295-302) -----
     fvd_value = None
