@@ -163,5 +163,8 @@ def create_args():
     tpu_p.add("--allow_synthetic", action="store_true",
               help="For Moving MNIST: fall back to procedural digits when the "
                    "MNIST archive is absent (benchmarks/smoke tests only).")
+    tpu_p.add("--no_device_compose", action="store_true",
+              help="For Moving MNIST: disable on-device frame compositing and "
+                   "ship full uint8 frames instead.")
 
     return p

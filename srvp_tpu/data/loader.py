@@ -102,3 +102,17 @@ def infinite_batches(loader):
     train.py:332-336)."""
     while True:
         yield from loader
+
+
+class PartsView:
+    """Adapter exposing a dataset's get_item_parts as get_item, for loaders
+    that feed the on-device compositor (srvp_tpu/data/device_compose.py)."""
+
+    def __init__(self, dataset):
+        self._dataset = dataset
+
+    def __len__(self):
+        return len(self._dataset)
+
+    def get_item(self, index, rng):
+        return self._dataset.get_item_parts(index, rng)

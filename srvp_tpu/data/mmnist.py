@@ -202,6 +202,21 @@ class MovingMNIST(VideoDataset):
                 x[t, sx:sx + img.shape[0], sy:sy + img.shape[1]] += img
         return np.minimum(x, 255).astype(np.uint8)
 
+    def get_item_parts(self, index, rng):
+        """Returns (digits (D, h, w) uint8, pos (D, T, 2) int32) — the same
+        draws as get_item WITHOUT compositing; frames are composited on
+        device (srvp_tpu/data/device_compose.py). Requires uniformly-shaped
+        digit images (MNIST: 28x28)."""
+        assert self.train
+        digits = np.zeros((self.num_digits,) + self.data[0].shape, np.uint8)
+        pos = np.zeros((self.num_digits, self.seq_len, 2), np.int32)
+        for n in range(self.num_digits):
+            img = self.data[rng.randint(len(self.data))]
+            traj = self._compute_trajectory(rng, *img.shape)
+            digits[n] = img
+            pos[n] = [(sx, sy) for sx, sy, _, _ in traj]
+        return digits, pos
+
     def get_batch_seeded(self, indices, seeds, n_threads=4):
         """Native C++ batch generation (bit-identical to get_item with
         RandomState(seed)); returns None when the native engine is absent

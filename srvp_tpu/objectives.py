@@ -29,10 +29,11 @@ class LossAux(NamedTuple):
 
 def elbo_loss(cfg, params, state, x, rng, *, oversampling, obs_scale,
               beta_y, beta_z, l2_res, compute_dtype=jnp.float32):
-    """Returns (loss, LossAux). x: (T, B, H, W, C), float in [0, 1] or uint8
-    (converted on device to cut host->device bandwidth 4x)."""
-    if x.dtype == jnp.uint8:
-        x = x.astype(jnp.float32) / 255.0
+    """Returns (loss, LossAux). x: (T, B, H, W, C) float in [0, 1], uint8
+    (normalized on device), or a Moving MNIST parts dict (digits +
+    trajectories, composited on device — srvp_tpu/data/device_compose.py)."""
+    from srvp_tpu.data.device_compose import materialize
+    x = materialize(x, cfg.nx)
     nt, bsz = x.shape[0], x.shape[1]
     out = srvp.forward(cfg, params, state, x, nt, oversampling=oversampling,
                        rng=rng, train=True, compute_dtype=compute_dtype)

@@ -44,10 +44,20 @@ def replicated(mesh):
 def shard_batch(mesh, batch, batch_axis=1):
     """Places a host batch onto the mesh, sharded over the data axis.
 
+    Dense video batches are (T, B, ...) with batch axis 1; parts dicts
+    (device-side compositing) carry their batch on axis 0 of every leaf.
     Batches whose batch axis does not divide the mesh (e.g. a small
     validation batch) are placed replicated instead — correct, just not
     distributed."""
     n = mesh.devices.size
+    if isinstance(batch, dict):
+        return {
+            k: jax.device_put(
+                v,
+                batch_sharding(mesh, 0, v.ndim) if v.shape[0] % n == 0
+                else replicated(mesh))
+            for k, v in batch.items()
+        }
     if batch.shape[batch_axis] % n != 0:
         return jax.device_put(batch, replicated(mesh))
     return jax.device_put(batch, batch_sharding(mesh, batch_axis, batch.ndim))

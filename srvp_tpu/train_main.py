@@ -71,10 +71,20 @@ def main(opt):
     from srvp_tpu.data.base import collate_uint8
     # Training batches ship as uint8 and convert to [0,1] float ON DEVICE —
     # 4x less host->device traffic (the [0,1] conversion lives in elbo_loss).
-    train_loader = DataLoader(trainset, opt.batch_size, shuffle=True,
-                              drop_last=True, seed=opt.seed,
-                              num_workers=opt.n_workers,
-                              collate_fn=collate_uint8)
+    # Moving MNIST goes further: only digit images + trajectories are shipped
+    # and frames are composited on device (~35x less traffic).
+    if opt.dataset == "smmnist" and not opt.get("no_device_compose"):
+        from srvp_tpu.data.device_compose import parts_collate
+        from srvp_tpu.data.loader import PartsView
+        train_loader = DataLoader(PartsView(trainset), opt.batch_size,
+                                  shuffle=True, drop_last=True, seed=opt.seed,
+                                  num_workers=opt.n_workers,
+                                  collate_fn=parts_collate)
+    else:
+        train_loader = DataLoader(trainset, opt.batch_size, shuffle=True,
+                                  drop_last=True, seed=opt.seed,
+                                  num_workers=opt.n_workers,
+                                  collate_fn=collate_uint8)
     val_loader = DataLoader(valset, opt.batch_size_test, shuffle=True,
                             drop_last=True, seed=opt.seed + 1,
                             num_workers=opt.n_workers,
