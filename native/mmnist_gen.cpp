@@ -172,7 +172,62 @@ void generate_one(const uint8_t* digit_data, const int64_t* digit_offsets,
 
 }  // namespace
 
+namespace {
+
+void parts_one(const uint8_t* digit_data, const int64_t* digit_offsets,
+               const int32_t* digit_hw, int n_avail, const Physics& ph,
+               int num_digits, uint32_t seed, int dh, int dw,
+               uint8_t* digits_out, int32_t* pos_out) {
+  // Same draw order as generate_one, but emits digit images + trajectories
+  // for on-device compositing instead of composited frames.
+  MT19937 rng(seed);
+  std::vector<TrajPoint> traj;
+  for (int n = 0; n < num_digits; ++n) {
+    long di = rng.randint(0, n_avail);
+    const uint8_t* img = digit_data + digit_offsets[di];
+    int h = digit_hw[2 * di], w = digit_hw[2 * di + 1];
+    ph.trajectory(rng, h, w, traj);
+    std::memcpy(digits_out + (size_t)n * dh * dw, img, (size_t)h * w);
+    int32_t* p = pos_out + (size_t)n * ph.seq_len * 2;
+    for (int t = 0; t < ph.seq_len; ++t) {
+      p[2 * t] = traj[t].sx;
+      p[2 * t + 1] = traj[t].sy;
+    }
+  }
+}
+
+}  // namespace
+
 extern "C" {
+
+// digits_out: (batch, num_digits, dh, dw) uint8 (uniform digit shape)
+// pos_out:    (batch, num_digits, seq_len, 2) int32
+void mmnist_parts_batch(const uint8_t* digit_data,
+                        const int64_t* digit_offsets,
+                        const int32_t* digit_hw, int n_avail,
+                        int frame_size, int seq_len, int max_speed,
+                        int deterministic, int num_digits,
+                        const uint32_t* seeds, int batch,
+                        int dh, int dw,
+                        uint8_t* digits_out, int32_t* pos_out,
+                        int n_threads) {
+  Physics ph{frame_size, seq_len, max_speed, deterministic != 0};
+  const size_t dsz = (size_t)num_digits * dh * dw;
+  const size_t psz = (size_t)num_digits * seq_len * 2;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > batch) n_threads = batch;
+  std::vector<std::thread> threads;
+  for (int tid = 0; tid < n_threads; ++tid) {
+    threads.emplace_back([=]() {
+      for (int b = tid; b < batch; b += n_threads) {
+        parts_one(digit_data, digit_offsets, digit_hw, n_avail, ph,
+                  num_digits, seeds[b], dh, dw,
+                  digits_out + dsz * b, pos_out + psz * b);
+      }
+    });
+  }
+  for (auto& t : threads) t.join();
+}
 
 // out: (batch, seq_len, frame_size, frame_size) uint8
 void mmnist_generate_batch(const uint8_t* digit_data,

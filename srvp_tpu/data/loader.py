@@ -67,16 +67,19 @@ class DataLoader:
                         return
                     lo = b * self.batch_size
                     hi = min(lo + self.batch_size, len(order))
-                    items = None
+                    batch = None
                     if native_fn is not None:
                         arr = native_fn([int(order[p]) for p in range(lo, hi)],
                                         [item_seed(p) for p in range(lo, hi)],
                                         self.num_workers)
-                        if arr is not None:
-                            items = list(arr)
-                    if items is None:
-                        items = list(pool.map(fetch, range(lo, hi)))
-                    out_q.put(self.collate_fn(items))
+                        if isinstance(arr, dict):  # pre-collated parts batch
+                            batch = arr
+                        elif arr is not None:
+                            batch = self.collate_fn(list(arr))
+                    if batch is None:
+                        batch = self.collate_fn(
+                            list(pool.map(fetch, range(lo, hi))))
+                    out_q.put(batch)
             out_q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
@@ -106,7 +109,8 @@ def infinite_batches(loader):
 
 class PartsView:
     """Adapter exposing a dataset's get_item_parts as get_item, for loaders
-    that feed the on-device compositor (srvp_tpu/data/device_compose.py)."""
+    that feed the on-device compositor (srvp_tpu/data/device_compose.py).
+    Prefers the native parts batch path when the dataset provides one."""
 
     def __init__(self, dataset):
         self._dataset = dataset
@@ -116,3 +120,7 @@ class PartsView:
 
     def get_item(self, index, rng):
         return self._dataset.get_item_parts(index, rng)
+
+    def get_batch_seeded(self, indices, seeds, n_threads=4):
+        fn = getattr(self._dataset, "get_parts_batch_seeded", None)
+        return fn(indices, seeds, n_threads) if fn is not None else None

@@ -228,6 +228,19 @@ class MovingMNIST(VideoDataset):
                                      self.max_speed, self.deterministic,
                                      self.num_digits, seeds, n_threads)
 
+    def get_parts_batch_seeded(self, indices, seeds, n_threads=4):
+        """Native C++ parts batch (digits + trajectories) for on-device
+        compositing; same draws as get_item_parts. None if unavailable."""
+        if not self.train:
+            return None
+        from srvp_tpu.native import mmnist_parts_batch
+        out = mmnist_parts_batch(self.data, self.frame_size, self.seq_len,
+                                 self.max_speed, self.deterministic,
+                                 self.num_digits, seeds, n_threads)
+        if out is None:
+            return None
+        return {"digits": out[0], "pos": out[1]}
+
     @classmethod
     def make_dataset(cls, data_dir, nx, seq_len, max_speed, deterministic,
                      num_digits, train, allow_synthetic=False):

@@ -49,6 +49,14 @@ def get_native_lib():
                 ctypes.c_void_p, ctypes.c_int,
             ]
             lib.mmnist_generate_batch.restype = None
+            lib.mmnist_parts_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib.mmnist_parts_batch.restype = None
             _lib = lib
         except Exception as e:
             print(f"srvp_tpu native engine unavailable ({e}); "
@@ -103,3 +111,33 @@ def mmnist_generate_batch(digits, frame_size, seq_len, max_speed,
         pack.n, frame_size, seq_len, max_speed, int(deterministic),
         num_digits, seeds.ctypes.data, batch, out.ctypes.data, n_threads)
     return out
+
+
+def mmnist_parts_batch(digits, frame_size, seq_len, max_speed, deterministic,
+                       num_digits, seeds, n_threads=4):
+    """Native batch of (digit images, trajectories) for on-device
+    compositing; same draws as mmnist_generate_batch. Returns
+    (digits (B, D, h, w) uint8, pos (B, D, T, 2) int32) or None.
+    Requires uniformly-shaped digit images."""
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    key = id(digits)
+    pack = _pack_cache.get(key)
+    if pack is None:
+        pack = _DigitPack(digits)
+        _pack_cache.clear()
+        _pack_cache[key] = pack
+    if not (pack.hw == pack.hw[0]).all():
+        return None
+    dh, dw = int(pack.hw[0][0]), int(pack.hw[0][1])
+    seeds = np.ascontiguousarray(seeds, np.uint32)
+    batch = len(seeds)
+    digits_out = np.empty((batch, num_digits, dh, dw), np.uint8)
+    pos_out = np.empty((batch, num_digits, seq_len, 2), np.int32)
+    lib.mmnist_parts_batch(
+        pack.data.ctypes.data, pack.offsets.ctypes.data, pack.hw.ctypes.data,
+        pack.n, frame_size, seq_len, max_speed, int(deterministic),
+        num_digits, seeds.ctypes.data, batch, dh, dw,
+        digits_out.ctypes.data, pos_out.ctypes.data, n_threads)
+    return digits_out, pos_out
