@@ -133,7 +133,9 @@ def conv_block_apply(params, state, spec, x, train):
     if spec.kind == "conv":
         h = convops.conv2d(x, params["conv"]["kernel"], spec.stride, spec.padding)
     elif spec.kind == "convt":
-        h = convops.conv_transpose2d(x, params["conv"]["kernel"], spec.stride, spec.padding)
+        # convT kernels are stored pre-flipped (see convops)
+        h = convops.conv_transpose2d_preflipped(
+            x, params["conv"]["kernel"], spec.stride, spec.padding)
     else:
         raise ValueError(f"Unknown conv kind '{spec.kind}'")
     new_state = {}

@@ -36,17 +36,28 @@ def conv2d(x, w, stride=1, padding=0):
 def conv_transpose2d(x, w, stride=1, padding=0):
     """torch.nn.functional.conv_transpose2d equivalent.
 
-    x: NHWC; w: HWIO with I = x channels, O = output channels.
+    x: NHWC; w: HWIO with I = x channels, O = output channels, in torch's
+    orientation (spatially flipped at apply time).
     output size = (in - 1) * stride - 2 * padding + kernel.
+    """
+    return conv_transpose2d_preflipped(
+        x, jnp.flip(w, axis=(0, 1)), stride, padding)
+
+
+def conv_transpose2d_preflipped(x, w, stride=1, padding=0):
+    """Transposed conv whose kernel is stored ALREADY spatially flipped —
+    the model's storage convention (srvp_tpu/models/layers.py), which avoids
+    materializing a flipped copy of every convT kernel on every training
+    step. Torch checkpoints are flipped once at conversion time
+    (utils/torch_convert.py); random init is flip-invariant (i.i.d.).
     """
     kh, kw = w.shape[0], w.shape[1]
     s = (stride, stride) if isinstance(stride, int) else stride
     p = (padding, padding) if isinstance(padding, int) else padding
-    w_flipped = jnp.flip(w, axis=(0, 1)).astype(x.dtype)
     pads = [(kh - 1 - p[0], kh - 1 - p[0]), (kw - 1 - p[1], kw - 1 - p[1])]
     return lax.conv_general_dilated(
-        x, w_flipped, window_strides=(1, 1), padding=pads, lhs_dilation=s,
-        dimension_numbers=_DIMS)
+        x, w.astype(x.dtype), window_strides=(1, 1), padding=pads,
+        lhs_dilation=s, dimension_numbers=_DIMS)
 
 
 def max_pool2d(x, window=2, stride=2):

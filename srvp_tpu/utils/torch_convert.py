@@ -32,7 +32,9 @@ def _conv_w(sd, key):
 
 
 def _convt_w(sd, key):
-    return _np(sd[key]).transpose(2, 3, 0, 1)
+    # (Cin, Cout, kh, kw) -> pre-flipped HWIO (the model stores convT kernels
+    # spatially flipped so apply-time needs no flip; see ops/convops.py)
+    return _np(sd[key]).transpose(2, 3, 0, 1)[::-1, ::-1].copy()
 
 
 def _linear(sd, prefix):

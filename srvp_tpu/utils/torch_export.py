@@ -18,7 +18,8 @@ def _conv_w(kernel):
 
 
 def _convt_w(kernel):
-    return _np(kernel).transpose(2, 3, 0, 1)
+    # inverse of torch_convert._convt_w: un-flip, then HWIO -> (Cin,Cout,kh,kw)
+    return _np(kernel)[::-1, ::-1].transpose(2, 3, 0, 1).copy()
 
 
 def _linear(sd, prefix, params):

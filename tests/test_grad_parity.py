@@ -108,11 +108,11 @@ def test_elbo_and_grads_match_torch():
         np.asarray(grads["encoder"]["stages"][3][0]["conv"]["kernel"]),
         tgrad("encoder.conv.3.0.weight").transpose(2, 3, 1, 0),
         rtol=5e-3, atol=5e-5)
-    # first decoder convT
+    # first decoder convT (our storage is pre-flipped HWIO)
     np.testing.assert_allclose(
         np.asarray(grads["decoder"]["first"][0]["conv"]["kernel"]),
-        tgrad("decoder.first_upconv.0.weight").transpose(2, 3, 0, 1),
-        rtol=5e-3, atol=5e-5)
+        tgrad("decoder.first_upconv.0.weight")
+        .transpose(2, 3, 0, 1)[::-1, ::-1], rtol=5e-3, atol=5e-5)
     # BN scale gradient (train-mode batch statistics backward)
     np.testing.assert_allclose(
         np.asarray(grads["encoder"]["stages"][1][0]["bn"]["scale"]),
