@@ -70,17 +70,29 @@ def load_mnist_labels(data_dir, train=True):
 
 def synthetic_digits(n, rng, size=28):
     """Procedural digit-like glyphs for benchmarks/smoke tests when the real
-    MNIST archive is unavailable (zero-egress environments)."""
+    MNIST archive is unavailable (zero-egress environments).
+
+    MNIST-like statistics: 2-4 thick strokes (random-walk polylines) with
+    soft edges, ~100-200 lit pixels, peak intensity near 255.
+    """
+    yy, xx = np.mgrid[0:size, 0:size]
     digits = []
     for _ in range(n):
-        img = np.zeros((size, size), dtype=np.uint8)
-        cx, cy = rng.randint(8, size - 8, size=2)
-        r1, r2 = rng.randint(3, 9, size=2)
-        yy, xx = np.mgrid[0:size, 0:size]
-        d = ((xx - cx) / max(r1, 1)) ** 2 + ((yy - cy) / max(r2, 1)) ** 2
-        ring = (d < 1.0) & (d > 0.25)
-        img[ring] = rng.randint(160, 256)
-        digits.append(img)
+        img = np.zeros((size, size), dtype=np.float32)
+        n_strokes = rng.randint(2, 5)
+        x, y = rng.uniform(6, size - 6, size=2)
+        for _ in range(n_strokes):
+            angle = rng.uniform(0, 2 * np.pi)
+            length = rng.uniform(6, 14)
+            x2 = np.clip(x + length * np.cos(angle), 3, size - 3)
+            y2 = np.clip(y + length * np.sin(angle), 3, size - 3)
+            # rasterize a thick segment as distance-to-segment falloff
+            for t in np.linspace(0, 1, 24):
+                cx, cy = x + t * (x2 - x), y + t * (y2 - y)
+                d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+                img = np.maximum(img, 255.0 * np.exp(-d2 / 2.6))
+            x, y = x2, y2
+        digits.append(np.clip(img, 0, 255).astype(np.uint8))
     return digits
 
 
