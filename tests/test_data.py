@@ -110,3 +110,20 @@ class TestLoader:
         e1 = np.concatenate([b.ravel() for b in loader])
         e2 = np.concatenate([b.ravel() for b in loader])
         assert np.abs(e1 - e2).max() > 0  # different shuffle per epoch
+
+
+class TestLoaderThreadInvariance:
+    def test_batches_identical_across_worker_counts(self):
+        from srvp_tpu.data.mmnist import synthetic_digits
+        digits = synthetic_digits(12, np.random.RandomState(3))
+        ds = MovingMNIST(digits, 64, 5, 4, False, 2, True)._filter(digits)
+
+        def first_batches(workers):
+            loader = DataLoader(ds, batch_size=6, seed=9, num_workers=workers)
+            it = iter(loader)
+            return next(it), next(it)
+
+        a1, a2 = first_batches(1)
+        b1, b2 = first_batches(4)
+        np.testing.assert_array_equal(a1, b1)
+        np.testing.assert_array_equal(a2, b2)
