@@ -116,8 +116,8 @@ def make_eval_batch(cfg, hp, nt, n_samples=None):
 
     @jax.jit
     def eval_batch(params, bn_state, x, key):
-        if x.dtype == jnp.uint8:
-            x = x.astype(jnp.float32) / 255.0
+        from srvp_tpu.data.device_compose import materialize
+        x = materialize(x, cfg.nx)
         x_inf = x[: hp.nt_cond]
 
         def sample_metrics(k):
@@ -145,7 +145,12 @@ def evaluate(eval_batch_fn, params, bn_state, val_iter, n_iter_test, key,
     for j, batch in enumerate(val_iter):
         if j >= n_iter_test:
             break
-        x = jnp.asarray(batch) if shard_fn is None else shard_fn(batch)
+        if shard_fn is not None:
+            x = shard_fn(batch)
+        elif isinstance(batch, dict):
+            x = {k_: jnp.asarray(v) for k_, v in batch.items()}
+        else:
+            x = jnp.asarray(batch)
         k = jax.random.fold_in(key, j)
         pred_psnr = eval_batch_fn(params, bn_state, x, k)
         total += float(jnp.mean(pred_psnr)) * pred_psnr.shape[0]
