@@ -9,10 +9,8 @@ come from GSPMD sharding, not NCCL wrappers.
 import os
 import random
 import signal
-import sys
 import time
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp
