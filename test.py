@@ -98,6 +98,15 @@ def main(opt):
         lpips_fn = make_video_lpips(opt.lpips_dir)
     metric_names = ["psnr", "ssim"] + (["lpips"] if lpips_fn else [])
 
+    # Fail fast on missing I3D weights BEFORE the (long) sampling loop.
+    if opt.fvd:
+        from srvp_tpu.metrics.fvd import default_i3d_path
+        i3d_path = default_i3d_path()
+        if not os.path.exists(i3d_path):
+            raise FileNotFoundError(
+                f"--fvd requires I3D weights at {i3d_path} "
+                "(see scripts/convert_i3d.py / SRVP_TPU_I3D_WEIGHTS)")
+
     # ----- evaluation -----
     print("Evaluation...")
     fused = opt.get("fused_rollout", "auto") if hasattr(opt, "get") else "auto"
