@@ -39,9 +39,17 @@ class ArgumentParser(argparse.ArgumentParser):
         return _augment_group(super().add_argument_group(*args, **kwargs))
 
     def parse_args(self, args=None, namespace=None):
-        # Two-phase parse: pick up --config, apply file values as defaults,
-        # then parse normally so CLI flags override the file.
-        pre, _ = super().parse_known_args(args)
+        # Two-phase parse: pick up --config (with required-ness suspended),
+        # apply file values as defaults, then parse normally so CLI flags
+        # override the file.
+        saved_required = [(a, a.required) for a in self._actions]
+        for a in self._actions:
+            a.required = False
+        try:
+            pre, _ = super().parse_known_args(args)
+        finally:
+            for a, r in saved_required:
+                a.required = r
         if getattr(pre, "config", None):
             path = pre.config
             if path.endswith((".yaml", ".yml")):
