@@ -31,10 +31,11 @@ def create_args():
         description="TPU bf16 compute. Legacy torch/apex flags map to bf16.")
     amp_p.add("--precision", type=str, default="float32", choices=PRECISIONS,
               help="Compute dtype for conv encoder/decoder (latents stay fp32).")
-    amp_p.add("--torch_amp", action="store_true",
-              help="Legacy alias: enables bfloat16 compute.")
-    amp_p.add("--apex_amp", action="store_true",
-              help="Legacy alias: enables bfloat16 compute.")
+    amp_mex = amp_p.add_mutually_exclusive_group()
+    amp_mex.add("--torch_amp", action="store_true",
+                help="Legacy alias: enables bfloat16 compute.")
+    amp_mex.add("--apex_amp", action="store_true",
+                help="Legacy alias: enables bfloat16 compute.")
     amp_p.add("--amp_opt_lvl", type=str, metavar="OPT_LVL", default="O1",
               help="Accepted for compatibility; ignored on TPU.")
     amp_p.add("--keep_batchnorm_fp32", action="store_true", default=None,
