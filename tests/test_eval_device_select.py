@@ -3,7 +3,6 @@
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from srvp_tpu import eval_lib
 from srvp_tpu.models import srvp

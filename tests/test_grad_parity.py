@@ -14,9 +14,8 @@ import torch
 import torch.nn.functional as F
 
 from srvp_tpu.models import srvp
-from srvp_tpu.objectives import elbo_loss
 from srvp_tpu.utils.torch_convert import convert_state_dict
-from tests.torch_ref import TorchSRVP, rsample_t
+from tests.torch_ref import TorchSRVP
 from tests.test_model_parity import make_cfg, shared_noise
 
 

@@ -4,7 +4,6 @@ import numpy as np
 
 import jax.numpy as jnp
 import torch
-import torch.nn as nn
 import torch.nn.functional as F
 
 from srvp_tpu.metrics.lpips import (

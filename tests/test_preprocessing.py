@@ -2,7 +2,6 @@
 
 import gzip
 import struct
-import sys
 
 import numpy as np
 
