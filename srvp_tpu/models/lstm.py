@@ -49,5 +49,5 @@ def lstm_apply(params, x):
 
     h0 = jnp.zeros((bsz, n_hid), dtype)
     c0 = jnp.zeros((bsz, n_hid), dtype)
-    _, hs = lax.scan(cell, (h0, c0), x_proj)
+    _, hs = lax.scan(cell, (h0, c0), x_proj, unroll=2)
     return hs
