@@ -148,9 +148,11 @@ def prior_rollout_fused(p_z_params, dyn_params, y_0, eps, ny, nz,
     ny_pad = _round_up(ny, LANE)
     nz_pad = _round_up(nz, LANE)
     yz_pad = _round_up(ny + nz, LANE)
-    b_tile = min(batch_tile, _round_up(bsz, SUBLANE))
-    b_pad = _round_up(bsz, b_tile)
-    n_bt = b_pad // b_tile
+    # balanced batch tiles <= batch_tile (e.g. 1600 -> 4 x 400, not 4 x 512)
+    b8 = _round_up(bsz, SUBLANE)
+    n_bt = -(-b8 // batch_tile)
+    b_tile = _round_up(-(-b8 // n_bt), SUBLANE)
+    b_pad = n_bt * b_tile
 
     pz = pack_mlp(p_z_params)
     pz[-1] = _repack_split_output(p_z_params[-1], nz, nz_pad)
