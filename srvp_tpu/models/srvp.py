@@ -241,7 +241,8 @@ def rollout_masks(nt, oversampling, nt_hx):
 
 
 def generate(cfg, params, y_0, hx, nt, *, oversampling=1, rng=None, train=False,
-             remove_intermediate=True, hx_z=None):
+             remove_intermediate=True, hx_z=None, fused_train=False,
+             fused_interpret=False):
     """Euler rollout of the latent state as one `lax.scan`.
 
     y_0: (B, ny). hx: (nt_hx, B, nhx) frame encodings or None (pure prior
@@ -283,6 +284,28 @@ def generate(cfg, params, y_0, hx, nt, *, oversampling=1, rng=None, train=False,
         hx_z_steps = jnp.zeros((n_steps, bsz, cfg.nh_inf), jnp.float32)
 
     keys = jax.random.split(rng, n_steps)
+
+    if fused_train and train and bool(np.all(use_post)):
+        # weights-stationary Pallas path with custom VJP (same key schedule
+        # as the scan below: eps_k = normal(split(keys[k])[1]))
+        from srvp_tpu.ops.pallas.rollout_train import make_train_rollout
+        k_pos = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+        eps = jax.vmap(lambda k: jax.random.normal(k, (bsz, cfg.nz)))(k_pos)
+        fused_fn = make_train_rollout(cfg.ny, cfg.nz, cfg.nh_inf, cfg.nh_res,
+                                      n_steps, oversampling,
+                                      interpret=fused_interpret)
+        ys, res, q_pars, p_pars, zs = fused_fn(
+            params["q_z"], params["p_z"], params["dynamics"],
+            y_0, hx_z_steps, eps)
+        if remove_intermediate:
+            keep_idx = np.flatnonzero(keep_integer)
+            y = jnp.concatenate([y_0[None], ys[keep_idx]], axis=0)
+        else:
+            y = jnp.concatenate([y_0[None], ys], axis=0)
+        new_idx = np.flatnonzero(new_step)
+        return GenerateOutput(y, zs[new_idx], q_pars[new_idx],
+                              p_pars[new_idx], res)
+
     new_step_f = jnp.asarray(new_step)
     use_post_f = jnp.asarray(use_post)
 
@@ -360,11 +383,14 @@ def generate_prior_fused(cfg, params, y_0, nt, *, oversampling=1, rng=None,
 # ---------------------------------------------------------------------------
 
 def forward(cfg, params, state, x, nt, *, oversampling=1, rng=None, train=False,
-            remove_intermediate=True, compute_dtype=jnp.float32):
+            remove_intermediate=True, compute_dtype=jnp.float32,
+            fused_rollout=False, fused_interpret=False):
     """Full model pass (reference srvp.py:415-470).
 
     x: (T, B, H, W, C) floats in [0, 1]. Returns ForwardOutput with frames of
     length nt (or (nt-1)*oversampling + 1 when remove_intermediate=False).
+    fused_rollout routes the training rollout through the custom-VJP Pallas
+    kernel (srvp_tpu/ops/pallas/rollout_train.py).
     """
     k_skip, k_w, k_y, k_gen = jax.random.split(rng, 4)
     x = x.astype(compute_dtype)
@@ -373,7 +399,8 @@ def forward(cfg, params, state, x, nt, *, oversampling=1, rng=None, train=False,
     w = infer_w(cfg, params, hx32, train=train, rng=k_w)
     y_0, q_y_0_params = infer_y(cfg, params, hx32[: cfg.nt_inf], k_y)
     gen = generate(cfg, params, y_0, hx32, nt, oversampling=oversampling,
-                   rng=k_gen, train=train, remove_intermediate=remove_intermediate)
+                   rng=k_gen, train=train, remove_intermediate=remove_intermediate,
+                   fused_train=fused_rollout, fused_interpret=fused_interpret)
     x_, state = decode(cfg, params, state, w.astype(compute_dtype),
                        gen.y.astype(compute_dtype), skips, train=train)
     return ForwardOutput(x_, gen.y, gen.z, w, q_y_0_params, gen.q_z_params,

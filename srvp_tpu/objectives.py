@@ -28,7 +28,8 @@ class LossAux(NamedTuple):
 
 
 def elbo_loss(cfg, params, state, x, rng, *, oversampling, obs_scale,
-              beta_y, beta_z, l2_res, compute_dtype=jnp.float32):
+              beta_y, beta_z, l2_res, compute_dtype=jnp.float32,
+              fused_rollout=False):
     """Returns (loss, LossAux). x: (T, B, H, W, C) float in [0, 1], uint8
     (normalized on device), or a Moving MNIST parts dict (digits +
     trajectories, composited on device — srvp_tpu/data/device_compose.py)."""
@@ -36,7 +37,8 @@ def elbo_loss(cfg, params, state, x, rng, *, oversampling, obs_scale,
     x = materialize(x, cfg.nx)
     nt, bsz = x.shape[0], x.shape[1]
     out = srvp.forward(cfg, params, state, x, nt, oversampling=oversampling,
-                       rng=rng, train=True, compute_dtype=compute_dtype)
+                       rng=rng, train=True, compute_dtype=compute_dtype,
+                       fused_rollout=fused_rollout)
     nll = dists.neg_logprob(out.x_, x, scale=obs_scale).sum()
     kl_y_0 = dists.kl_raw_vs_std_normal(out.q_y_0_params).sum()
     kl_z = dists.kl_raw_vs_raw(out.q_z_params, out.p_z_params).sum()

@@ -49,6 +49,7 @@ class TrainHParams:
     n_samples_test: int = 100
     val_samples_chunk: int = 25
     compute_dtype: Any = jnp.float32
+    fused_rollout: bool = False  # custom-VJP Pallas training rollout
 
 
 def lr_schedule(hp):
@@ -86,7 +87,8 @@ def make_train_step(cfg, hp):
         return elbo_loss(cfg, params, bn_state, x, rng,
                          oversampling=hp.oversampling, obs_scale=hp.obs_scale,
                          beta_y=hp.beta_y, beta_z=hp.beta_z, l2_res=hp.l2_res,
-                         compute_dtype=hp.compute_dtype)
+                         compute_dtype=hp.compute_dtype,
+                         fused_rollout=hp.fused_rollout)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(ts: TrainState, x):

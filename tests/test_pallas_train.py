@@ -76,3 +76,47 @@ def test_fused_train_rollout_fwd_and_grads(o, nt, ny, nz, bsz):
                           jax.tree_util.tree_leaves(tr)):
             np.testing.assert_allclose(np.asarray(lf), np.asarray(lr),
                                        rtol=5e-4, atol=5e-6, err_msg=name)
+
+
+def test_model_level_fused_matches_scan():
+    """srvp.forward with fused_rollout must reproduce the scan forward AND
+    its gradients for the same rng (shared key schedule)."""
+    from srvp_tpu.models import srvp
+    from srvp_tpu.models.srvp import SRVPConfig
+    from srvp_tpu.objectives import elbo_loss
+
+    cfg = SRVPConfig(nx=64, nc=1, nf=4, nhx=8, ny=4, nz=4, skipco=False,
+                     nt_inf=2, nh_inf=8, nlayers_inf=2, nh_res=16,
+                     nlayers_res=3, archi="dcgan")
+    params, state = srvp.init(jax.random.PRNGKey(0), cfg, res_gain=1.2)
+    x = jnp.asarray(np.random.RandomState(1).rand(5, 4, 64, 64, 1)
+                    .astype(np.float32))
+    rng = jax.random.PRNGKey(7)
+
+    def loss(params, fused):
+        l, aux = elbo_loss(cfg, params, state, x, rng, oversampling=2,
+                           obs_scale=1.0, beta_y=1.0, beta_z=2.0, l2_res=1.0,
+                           fused_rollout=fused)
+        return l
+
+    import srvp_tpu.models.srvp as srvp_mod
+    # route the fused branch through interpreter mode for CPU
+    orig_fwd = srvp_mod.forward
+    l_scan, g_scan = jax.value_and_grad(lambda p: loss(p, False))(params)
+
+    def fwd_interp(*a, **k):
+        if k.get("fused_rollout"):
+            k["fused_interpret"] = True
+        return orig_fwd(*a, **k)
+
+    srvp_mod.forward = fwd_interp
+    try:
+        l_fused, g_fused = jax.value_and_grad(lambda p: loss(p, True))(params)
+    finally:
+        srvp_mod.forward = orig_fwd
+
+    np.testing.assert_allclose(float(l_fused), float(l_scan), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_scan),
+                    jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)
