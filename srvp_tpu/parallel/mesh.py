@@ -11,6 +11,8 @@ cross-replica mean — SyncBatchNorm semantics with zero extra code.
 Videos are time-major (T, B, H, W, C); the batch axis is axis 1.
 """
 
+import logging
+
 import numpy as np
 
 import jax
@@ -18,14 +20,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+logger = logging.getLogger(__name__)
+_warned_replicated = set()
+
 
 def make_mesh(n_devices=None, devices=None):
-    """Builds a 1-D data-parallel mesh over the local devices."""
+    """Builds a 1-D data-parallel mesh over the local devices.
+
+    Raises a targeted error when more devices are requested than exist;
+    callers that want an N-device mesh on a smaller host (e.g. the driver's
+    multi-chip dry run) must provision virtual devices BEFORE jax
+    initializes: `XLA_FLAGS=--xla_force_host_platform_device_count=N
+    JAX_PLATFORMS=cpu` (see tests/conftest.py and
+    __graft_entry__.dryrun_multichip)."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
-        assert n_devices <= len(devices), (
-            f"requested {n_devices} devices, have {len(devices)}")
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} JAX device(s) exist. To emulate N devices "
+                f"on one host, set XLA_FLAGS=--xla_force_host_platform_"
+                f"device_count={n_devices} JAX_PLATFORMS=cpu before jax "
+                f"initializes (the recipe used by tests/conftest.py and "
+                f"__graft_entry__.dryrun_multichip).")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
@@ -48,16 +66,30 @@ def shard_batch(mesh, batch, batch_axis=1):
     (device-side compositing) carry their batch on axis 0 of every leaf.
     Batches whose batch axis does not divide the mesh (e.g. a small
     validation batch) are placed replicated instead — correct, just not
-    distributed."""
+    distributed. The fallback is logged once per (batch_size, mesh_size)
+    pair so silent serialization is visible in training logs."""
     n = mesh.devices.size
     if isinstance(batch, dict):
         return {
             k: jax.device_put(
                 v,
                 batch_sharding(mesh, 0, v.ndim) if v.shape[0] % n == 0
-                else replicated(mesh))
+                else _replicated_fallback(mesh, v.shape[0], n))
             for k, v in batch.items()
         }
     if batch.shape[batch_axis] % n != 0:
-        return jax.device_put(batch, replicated(mesh))
+        return jax.device_put(
+            batch, _replicated_fallback(mesh, batch.shape[batch_axis], n))
     return jax.device_put(batch, batch_sharding(mesh, batch_axis, batch.ndim))
+
+
+def _replicated_fallback(mesh, batch_size, n):
+    key = (batch_size, n)
+    if key not in _warned_replicated:
+        _warned_replicated.add(key)
+        logger.warning(
+            "shard_batch: batch size %d does not divide the %d-device mesh; "
+            "placing this batch REPLICATED (runs on every device, no data "
+            "parallel speedup). Pad or resize the batch to a multiple of %d "
+            "to distribute it.", batch_size, n, n)
+    return replicated(mesh)

@@ -41,7 +41,9 @@ def create_test_args():
     p.add("--nt_cond", type=int, metavar="COND", default=None,
           help="Number of conditioning frames.")
     p.add("--nt_gen", type=int, metavar="GEN", default=None,
-          help="Total number of frames (conditioning + predicted).")
+          help="Total number of frames (conditioning + predicted). Defaults "
+               "to the config's seq_len_test, else 25 (the reference "
+               "test.py default, /root/reference/test.py:337-338).")
     p.add("--batch_size", type=int, metavar="BATCH", default=16,
           help="Batch size used to compute metrics.")
     p.add("--n_samples", type=int, metavar="NB_SAMPLES", default=100,
@@ -61,13 +63,21 @@ def create_test_args():
     return p
 
 
+def resolve_nt_test(opt, xp_config):
+    """Protocol default chain: CLI --nt_gen > config seq_len_test > 25
+    (the reference defaults nt_gen to 25, /root/reference/test.py:337-338)."""
+    nt_test = opt.nt_gen if opt.nt_gen is not None else \
+        xp_config.get("seq_len_test")
+    return 25 if nt_test is None else nt_test
+
+
 def main(opt):
     from srvp_tpu.utils.runtime import setup_compilation_cache
     setup_compilation_cache()
     # ----- experiment config (reference test.py:174-181) -----
     xp_config = load_json(os.path.join(opt.xp_dir, "config.json"))
     nt_cond = opt.nt_cond if opt.nt_cond is not None else xp_config.nt_cond
-    nt_test = opt.nt_gen if opt.nt_gen is not None else xp_config.seq_len_test
+    nt_test = resolve_nt_test(opt, xp_config)
     o_inf = xp_config.n_euler_steps
     o_gen = opt.n_euler_steps if opt.n_euler_steps is not None else o_inf
 
