@@ -118,6 +118,29 @@ def _ops_apply(params, state, ops, h, train):
     return h, new_state
 
 
+def _stage_apply(params, state, ops, h, train, skip=None, nt=1):
+    """One encoder/decoder stage.
+
+    Remat notes (measured on the KTH vgg step, 100x20 frames): the step's
+    temp memory sits at the HBM limit (14.4 GiB), but both full-stage
+    `jax.checkpoint` (358 ms) and a save-only-conv-outputs policy (305 ms)
+    measured SLOWER than letting XLA pick residuals itself (286 ms) — XLA
+    already keeps roughly one tensor per conv block and its spill
+    compression is cheaper than the recompute schedules. So stages run
+    unwrapped; the checkpoint_name tags remain in conv_block_apply for
+    future policy experiments.
+    """
+    if skip is None:
+        return _ops_apply(params, state, ops, h, train)
+
+    op0, spec0 = ops[0]
+    assert op0 == "block", "skip-consuming stage must start with a conv"
+    h, ns0 = conv_block_apply(params[0], state[0], spec0, h, train,
+                              skip=skip, nt=nt)
+    h, ns_rest = _ops_apply(params[1:], state[1:], ops[1:], h, train)
+    return h, [ns0] + ns_rest
+
+
 def encoder_init(key, stages, last):
     keys = jax.random.split(key, len(stages) + 1)
     params = {"stages": [], "last": None}
@@ -139,7 +162,7 @@ def encoder_apply(params, state, stages, last, x, train):
     h = x
     new_state = {"stages": [], "last": None}
     for p, s, ops in zip(params["stages"], state["stages"], stages):
-        h, ns = _ops_apply(p, s, ops, h, train)
+        h, ns = _stage_apply(p, s, ops, h, train)
         skips.append(h)
         new_state["stages"].append(ns)
     h, new_state["last"] = _ops_apply(params["last"], state["last"], last, h, train)
@@ -159,15 +182,18 @@ def decoder_init(key, first, stages):
     return params, state
 
 
-def decoder_apply(params, state, first, stages, z, skips, train, sigmoid=True):
-    """z: (N, nz_flat); skips: None or list (deepest first) of (N, h, w, c)."""
+def decoder_apply(params, state, first, stages, z, skips, train, sigmoid=True,
+                  nt=1):
+    """z: (N, nz_flat); skips: None or list (deepest first) of (B, h, w, c)
+    with N == nt * B — each skip is shared by the nt frames of its video and
+    folded into the stage's first conv via the linear split in
+    conv_block_apply (never materialized at (N, h, w, c))."""
     h = z.reshape(z.shape[0], 1, 1, z.shape[-1])
     new_state = {"first": None, "stages": []}
     h, new_state["first"] = _ops_apply(params["first"], state["first"], first, h, train)
     for i, (p, s, ops) in enumerate(zip(params["stages"], state["stages"], stages)):
-        if skips is not None:
-            h = jnp.concatenate([h, skips[i].astype(h.dtype)], axis=-1)
-        h, ns = _ops_apply(p, s, ops, h, train)
+        h, ns = _stage_apply(p, s, ops, h, train,
+                             skip=None if skips is None else skips[i], nt=nt)
         new_state["stages"].append(ns)
     if sigmoid:
         h = jax.nn.sigmoid(h)

@@ -13,7 +13,9 @@ wrapper module needed.
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from srvp_tpu.ops import convops, init as winit
 
@@ -67,6 +69,8 @@ def bn_apply(params, state, x, train):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=reduce_axes)
         var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+        mean = checkpoint_name(mean, "bn_stats")
+        var = checkpoint_name(var, "bn_stats")
         n = 1
         for ax in reduce_axes:
             n *= x.shape[ax]
@@ -128,16 +132,39 @@ def conv_block_init(key, spec, conv_init="normal", init_gain=0.02):
     return params, state
 
 
-def conv_block_apply(params, state, spec, x, train):
-    """Applies conv/convT -> [BN] -> activation. Returns (y, new_state)."""
+def conv_block_apply(params, state, spec, x, train, skip=None, nt=None):
+    """Applies conv/convT -> [BN] -> activation. Returns (y, new_state).
+
+    skip/nt implement the decoder's skip-connection concat WITHOUT
+    materializing the time broadcast: the reference concatenates a
+    time-replicated skip tensor to the input channels
+    (/root/reference/module/conv.py:266-271). Since convolution is linear in
+    the channel concat, conv([x ; tile(skip, nt)], W) ==
+    conv(x, W[:, :, :cx]) + broadcast_t(conv(skip, W[:, :, cx:])), so the
+    skip half is convolved ONCE per video instead of nt times and the
+    broadcast-add fuses into the conv epilogue (no (nt*B, H, W, C) skip
+    tensor is ever written to HBM). x: (nt*B, h, w, cx); skip: (B, h, w, cs).
+    """
+    W = params["conv"]["kernel"]
     if spec.kind == "conv":
-        h = convops.conv2d(x, params["conv"]["kernel"], spec.stride, spec.padding)
+        conv = convops.conv2d
     elif spec.kind == "convt":
         # convT kernels are stored pre-flipped (see convops)
-        h = convops.conv_transpose2d_preflipped(
-            x, params["conv"]["kernel"], spec.stride, spec.padding)
+        conv = convops.conv_transpose2d_preflipped
     else:
         raise ValueError(f"Unknown conv kind '{spec.kind}'")
+    if skip is None:
+        h = conv(x, W, spec.stride, spec.padding)
+    else:
+        cx = x.shape[-1]
+        h = conv(x, W[:, :, :cx], spec.stride, spec.padding)
+        hs = conv(skip.astype(x.dtype), W[:, :, cx:], spec.stride, spec.padding)
+        bsz = skip.shape[0]
+        h = (h.reshape((nt, bsz) + h.shape[1:]) + hs[None]).reshape(h.shape)
+    # Residual-policy tag: under the stage checkpoint (models/conv.py
+    # _stage_apply) only conv outputs and BN stats are saved for backward;
+    # BN-normalized/activated/pooled tensors are recomputed elementwise.
+    h = checkpoint_name(h, "conv_out")
     new_state = {}
     if spec.bn:
         h, new_state["bn"] = bn_apply(params["bn"], state["bn"], h, train)

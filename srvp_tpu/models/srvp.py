@@ -167,14 +167,9 @@ def decode(cfg, params, state, w, y, skips, *, train, sigmoid=True):
     y_flat = y.reshape(nt * bsz, cfg.ny)
     w_flat = jnp.broadcast_to(w[None], (nt,) + w.shape).reshape(nt * bsz, cfg.nh_inf)
     dec_inp = jnp.concatenate([w_flat, y_flat.astype(w_flat.dtype)], axis=-1)
-    if skips is not None:
-        skips = [
-            jnp.broadcast_to(s[None], (nt,) + s.shape).reshape((nt * bsz,) + s.shape[1:])
-            for s in skips
-        ]
     x_flat, dec_state = convnets.decoder_apply(
         params["decoder"], state["decoder"], dec_first, dec_stages,
-        dec_inp, skips, train, sigmoid=sigmoid)
+        dec_inp, skips, train, sigmoid=sigmoid, nt=nt)
     x_ = x_flat.reshape((nt, bsz) + x_flat.shape[1:])
     new_state = dict(state)
     new_state["decoder"] = dec_state

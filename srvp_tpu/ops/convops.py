@@ -61,7 +61,17 @@ def conv_transpose2d_preflipped(x, w, stride=1, padding=0):
 
 
 def max_pool2d(x, window=2, stride=2):
-    """torch.nn.MaxPool2d(window, stride, padding=0) equivalent. x: NHWC."""
+    """torch.nn.MaxPool2d(window, stride, padding=0) equivalent. x: NHWC.
+
+    For the model's window == stride case the pool is a reshape + max over
+    the (h, w) sub-window axes: one VPU pass with plain layouts, instead of
+    reduce_window whose TPU lowering picks batch-minor layouts that force
+    full-tensor layout copies around it (measured on the KTH vgg step).
+    """
+    n, h, w, c = x.shape
+    if window == stride and h % window == 0 and w % window == 0:
+        xw = x.reshape(n, h // window, window, w // window, window, c)
+        return jnp.max(xw, axis=(2, 4))
     return lax.reduce_window(
         x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
         lax.max,
@@ -72,9 +82,15 @@ def max_pool2d(x, window=2, stride=2):
 
 
 def upsample_nearest2x(x):
-    """torch.nn.Upsample(scale_factor=2, mode='nearest') equivalent. x: NHWC."""
-    x = jnp.repeat(x, 2, axis=1)
-    return jnp.repeat(x, 2, axis=2)
+    """torch.nn.Upsample(scale_factor=2, mode='nearest') equivalent. x: NHWC.
+
+    Single broadcast over both spatial axes (one HBM pass fwd, one reduce
+    bwd) rather than two jnp.repeat calls, which cost two materialized
+    broadcast+reduce pairs on the profile.
+    """
+    n, h, w, c = x.shape
+    return jnp.broadcast_to(
+        x[:, :, None, :, None, :], (n, h, 2, w, 2, c)).reshape(n, 2 * h, 2 * w, c)
 
 
 def depthwise_conv2d(x, w, padding=0):
