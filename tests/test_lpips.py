@@ -80,3 +80,29 @@ def test_lpips_zero_on_identical_inputs():
                     .astype(np.float32))
     out = alex_lpips_apply(params, x, x)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_lpips_reference_golden():
+    """JAX LPIPS + weight converters reproduce the REFERENCE implementation.
+
+    Fixture frozen by scripts/make_lpips_golden.py, which runs the vendored
+    reference PNetLin (/root/reference/metrics/lpips/networks_basic.py:
+    scaling layer, alexnet slices, unit-normalize, lin heads, spatial
+    average) on deterministic weights stored in the official state_dict key
+    formats — so this fails on any key/layout bug in
+    convert_alexnet_state_dict / convert_lin_state_dict, not just on math
+    bugs shared with a hand-written mirror.
+    """
+    import os
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "lpips_golden.npz")
+    data = np.load(path)
+    bb_sd = {k[3:]: data[k] for k in data.files if k.startswith("bb/")}
+    lin_sd = {k[4:]: data[k] for k in data.files if k.startswith("lin/")}
+    params = {"convs": convert_alexnet_state_dict(bb_sd),
+              "lins": convert_lin_state_dict(lin_sd)}
+    x = np.transpose(data["x"], (0, 2, 3, 1))
+    y = np.transpose(data["y"], (0, 2, 3, 1))
+    ours = alex_lpips_apply(params, jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(ours), data["lpips"],
+                               rtol=1e-4, atol=1e-6)
