@@ -12,11 +12,32 @@ transposed to (kh, kw, Cin, Cout)); the spatial flip that makes a transposed
 convolution a dilated direct convolution happens at apply time.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+from srvp_tpu.ops.pallas import spatial as _spatial
+
 _DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _pallas_spatial_max_hw():
+    """Spatial-size cap for routing pool/upsample to the Pallas kernels
+    (ops/pallas/spatial.py). SRVP_PALLAS_SPATIAL=N enables them on TPU for
+    feature maps up to NxN; 0 (the default) keeps XLA's lowerings.
+
+    Measured on the KTH vgg train step (v5e): ungated Pallas routing is a
+    net LOSS (316 vs 284 ms/step) — the custom-VJP call boundary blocks
+    XLA's elementwise fusion into neighboring ops and its layout
+    constraints insert full-tensor copies at the 64x64/32x32 sites, more
+    than the one-pass kernels save. The kernels are kept (bit-exact parity
+    with the jnp paths, tests/test_pallas_spatial.py) as opt-in and for
+    the small-spatial sites where XLA materializes 6-D intermediates."""
+    if jax.default_backend() != "tpu":
+        return 0
+    return int(os.environ.get("SRVP_PALLAS_SPATIAL", "0"))
 
 
 def conv2d(x, w, stride=1, padding=0):
@@ -63,12 +84,17 @@ def conv_transpose2d_preflipped(x, w, stride=1, padding=0):
 def max_pool2d(x, window=2, stride=2):
     """torch.nn.MaxPool2d(window, stride, padding=0) equivalent. x: NHWC.
 
-    For the model's window == stride case the pool is a reshape + max over
-    the (h, w) sub-window axes: one VPU pass with plain layouts, instead of
-    reduce_window whose TPU lowering picks batch-minor layouts that force
-    full-tensor layout copies around it (measured on the KTH vgg step).
+    On TPU the 2x2 case at small spatial dims routes to a Pallas kernel
+    (ops/pallas/spatial.py, see _pallas_spatial_max_hw for the measured
+    gating). Elsewhere the pool is a reshape + max over the (h, w)
+    sub-window axes (one VPU pass with plain layouts) with reduce_window
+    as the general fallback. Gradient semantics are identical across all
+    three paths: tied window maxima share the incoming gradient equally.
     """
     n, h, w, c = x.shape
+    if (window == 2 and stride == 2
+            and _spatial.supported(x, _pallas_spatial_max_hw())):
+        return _spatial.max_pool2x2(x)
     if window == stride and h % window == 0 and w % window == 0:
         xw = x.reshape(n, h // window, window, w // window, window, c)
         return jnp.max(xw, axis=(2, 4))
@@ -84,11 +110,16 @@ def max_pool2d(x, window=2, stride=2):
 def upsample_nearest2x(x):
     """torch.nn.Upsample(scale_factor=2, mode='nearest') equivalent. x: NHWC.
 
-    Single broadcast over both spatial axes (one HBM pass fwd, one reduce
-    bwd) rather than two jnp.repeat calls, which cost two materialized
-    broadcast+reduce pairs on the profile.
+    On TPU at small spatial dims this routes to a Pallas kernel
+    (ops/pallas/spatial.py, see _pallas_spatial_max_hw): one HBM pass fwd
+    (duplicate in VMEM) and one bwd (2x2 sum of the cotangent). Elsewhere:
+    a single broadcast over both spatial axes rather than two jnp.repeat
+    calls, which cost two materialized broadcast+reduce pairs on the
+    profile.
     """
     n, h, w, c = x.shape
+    if _spatial.supported(x, _pallas_spatial_max_hw()):
+        return _spatial.upsample2x(x)
     return jnp.broadcast_to(
         x[:, :, None, :, None, :], (n, h, 2, w, 2, c)).reshape(n, 2 * h, 2 * w, c)
 
