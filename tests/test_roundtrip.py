@@ -52,3 +52,41 @@ def test_train_then_test_roundtrip(tmp_path):
     results = np.load(xp_dir / "results.npz")
     assert results["psnr"].shape == (4,)
     assert np.all(np.isfinite(results["psnr"]))
+
+
+def test_train_then_test_roundtrip_vgg_skipco_kth_hparams(tmp_path):
+    """Same CLI roundtrip at the KTH recipe's structural hyperparameters
+    (reference README training section: vgg, skipco, ny=nz=50,
+    n_euler_steps=2) with conv widths shrunk for CPU. Covers the
+    skip-connection decoder and the oversampled Euler rollout end to end,
+    including checkpoint save/load of the vgg+skipco parameter tree."""
+    xp_dir = tmp_path / "xp"
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+
+    gen = MovingMNIST(synthetic_digits(6, np.random.RandomState(0)),
+                      64, 8, 4, False, 2, True)
+    vids = np.stack([gen.get_item(0, np.random.RandomState(i))
+                     for i in range(4)])
+    np.savez_compressed(data_dir / "smmnist_test_2digits_64.npz",
+                        sequences=np.transpose(vids, (1, 0, 2, 3)))
+
+    argv = (f"--save_path {xp_dir} --dataset smmnist --data_dir {data_dir} "
+            "--archi vgg --skipco --ny 50 --nz 50 --n_euler_steps 2 "
+            "--nt_cond 4 --nt_inf 3 --nc 1 --seq_len 8 --seed 3 "
+            "--nf 4 --nhx 8 --nh_inf 8 --nlayers_inf 2 --nh_res 16 "
+            "--nlayers_res 2 --batch_size 8 --batch_size_test 4 --n_iter 4 "
+            "--val_interval 2 --n_iter_test 1 --n_samples_test 2 "
+            "--val_samples_chunk 2 --log_interval 2 --allow_synthetic "
+            "--n_workers 1 --seq_len_test 8").split()
+    opt = DotDict(vars(args_mod.create_args().parse_args(argv)))
+    assert train_main(opt) == 0
+
+    topt = DotDict(xp_dir=str(xp_dir), data_dir=str(data_dir), lpips_dir=None,
+                   n_euler_steps=None, nt_cond=None, nt_gen=None, batch_size=4,
+                   n_samples=2, samples_chunk=2, model_name="model.npz",
+                   device=None, fvd=False, test_seed=1, fused_rollout="off")
+    test_cli.main(topt)
+    results = np.load(xp_dir / "results.npz")
+    assert results["psnr"].shape == (4,)
+    assert np.all(np.isfinite(results["psnr"]))
