@@ -5,14 +5,20 @@ Prints ONE JSON line:
     {"metric": "train_frames_per_sec_per_chip", "value": N, "unit":
      "frames/s/chip", "vs_baseline": N, ...extra context keys}
 
-Baseline: the reference PyTorch train step (/root/reference/train.py:49-129)
-measured by this harness on the best torch backend available on this machine
-(CPU in this environment — the reference publishes no throughput numbers and
-no CUDA device exists here; see BASELINE.md). The measured baseline is cached
-in bench_baseline.json so later rounds compare against the same number.
+The headline value is the flagship Stochastic Moving MNIST training config
+(dcgan, ny=nz=20, seq_len 15, batch 128 — reference README.md training
+defaults). A `configs` key carries per-config numbers for both benchmark
+shapes — smmnist/dcgan and KTH/vgg+skipco — each with ms/step, frames/s/chip,
+model FLOP/s and MFU (XLA's own FLOP count of the compiled train step over
+the device's peak; v5e peak 197 TFLOP/s bf16).
 
-Config: flagship Stochastic Moving MNIST (dcgan, ny=nz=20, seq_len 15,
-batch 128 — reference README.md:108-118 defaults), synthetic digit data.
+Baseline context: the reference publishes no throughput numbers and this
+machine has no CUDA device, so `vs_baseline` compares against the reference
+PyTorch train step (/root/reference/train.py:49-129) measured by this
+harness on torch-CPU — a capability statement ("the same step, same shapes,
+best available torch backend here"), NOT a GPU comparison. The measured
+baseline is cached in bench_baseline.json so later rounds compare against
+the same number.
 """
 
 import json
@@ -25,58 +31,98 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 
-SEQ_LEN = 15
-BATCH = 128
 STEPS = 50
 WARMUP = 5
 
+# name: model kwargs + protocol, mirroring the reference training commands
+# (/root/reference/README.md training section).
+CONFIGS = {
+    "smmnist-dcgan": dict(
+        kwargs=dict(nx=64, nc=1, nf=64, nhx=128, ny=20, nz=20, skipco=False,
+                    nt_inf=5, nh_inf=256, nlayers_inf=3, nh_res=512,
+                    nlayers_res=4, archi="dcgan"),
+        nt_cond=5, seq_len=15, batch=128, oversampling=1),
+    "kth-vgg": dict(
+        kwargs=dict(nx=64, nc=1, nf=64, nhx=128, ny=50, nz=50, skipco=True,
+                    nt_inf=3, nh_inf=256, nlayers_inf=3, nh_res=512,
+                    nlayers_res=4, archi="vgg"),
+        nt_cond=10, seq_len=20, batch=100, oversampling=2),
+}
 
-def make_batch(seed=0):
+# Peak dense matmul FLOP/s per chip by device kind (bf16 / fp32).
+PEAK_FLOPS = {
+    "TPU v5 lite": {"bfloat16": 197e12, "float32": 98.5e12},
+    "TPU v5e": {"bfloat16": 197e12, "float32": 98.5e12},
+    "TPU v4": {"bfloat16": 275e12, "float32": 137.5e12},
+    "TPU v6 lite": {"bfloat16": 918e12, "float32": 459e12},
+}
+
+
+def make_batch(cfg_name, seed=0):
+    c = CONFIGS[cfg_name]
     return np.random.RandomState(seed).rand(
-        SEQ_LEN, BATCH, 64, 64, 1).astype(np.float32)
+        c["seq_len"], c["batch"], 64, 64,
+        c["kwargs"]["nc"]).astype(np.float32)
 
 
-def bench_ours():
+def bench_ours(cfg_name, steps=STEPS):
     import jax
     import jax.numpy as jnp
-    from srvp_tpu.utils.runtime import setup_compilation_cache
-    setup_compilation_cache()
     from srvp_tpu import train_lib
     from srvp_tpu.models.srvp import SRVPConfig
     from srvp_tpu.parallel import make_mesh, replicated, shard_batch
 
-    cfg = SRVPConfig(nx=64, nc=1, nf=64, nhx=128, ny=20, nz=20, skipco=False,
-                     nt_inf=5, nh_inf=256, nlayers_inf=3, nh_res=512,
-                     nlayers_res=4, archi="dcgan")
+    c = CONFIGS[cfg_name]
+    cfg = SRVPConfig(**c["kwargs"])
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
     hp = train_lib.TrainHParams(
-        nt_cond=5,
-        compute_dtype=jnp.bfloat16 if jax.default_backend() == "tpu"
-        else jnp.float32)
+        nt_cond=c["nt_cond"], oversampling=c["oversampling"],
+        compute_dtype=dtype)
     mesh = make_mesh()
     n_chips = mesh.devices.size
     ts = train_lib.init_train_state(jax.random.PRNGKey(0), cfg, hp)
     ts = jax.device_put(ts, replicated(mesh))
     step = train_lib.make_train_step(cfg, hp)
-    x = shard_batch(mesh, jnp.asarray(make_batch()))
+    x = shard_batch(mesh, jnp.asarray(make_batch(cfg_name)))
+
+    # XLA's FLOP count for one compiled train step (fwd+bwd+Adam).
+    try:
+        cost = jax.jit(step.__wrapped__).lower(ts, x).compile().cost_analysis()
+        flops_per_step = float(cost.get("flops", 0.0))
+    except Exception:
+        flops_per_step = 0.0
 
     for _ in range(WARMUP):
         ts, metrics = step(ts, x)
     float(metrics["loss"])
     t0 = time.perf_counter()
-    for _ in range(STEPS):
+    for _ in range(steps):
         ts, metrics = step(ts, x)
     # Fetch the final VALUE: step N's loss depends on step N-1's params, so
     # this forces the whole chain. (block_until_ready alone is not reliable
     # on the tunneled axon platform.)
     float(metrics["loss"])
     dt = time.perf_counter() - t0
-    fps = SEQ_LEN * BATCH * STEPS / dt
-    return fps / n_chips, {"backend": jax.default_backend(), "chips": n_chips,
-                           "steps": STEPS, "sec_per_step": dt / STEPS,
-                           "loss": float(metrics["loss"])}
+    sec_per_step = dt / steps
+    fps = c["seq_len"] * c["batch"] / sec_per_step / n_chips
+
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(kind, {}).get(str(jnp.dtype(dtype).name))
+    flops_per_sec = flops_per_step / sec_per_step / n_chips
+    info = {
+        "backend": jax.default_backend(), "chips": n_chips, "steps": steps,
+        "sec_per_step": round(sec_per_step, 5),
+        "loss": float(metrics["loss"]),
+        "model_flops_per_step": flops_per_step,
+        "model_flops_per_sec_per_chip": round(flops_per_sec, 1),
+        "mfu": round(flops_per_sec / peak, 4) if peak else None,
+        "device_kind": kind, "compute_dtype": str(jnp.dtype(dtype).name),
+    }
+    return fps, info
 
 
-def bench_reference():
+def bench_reference(cfg_name="smmnist-dcgan"):
     """Times the reference torch train step (imported from /root/reference,
     used as a measurement oracle)."""
     if not os.path.isdir("/root/reference"):
@@ -88,19 +134,24 @@ def bench_reference():
         import module.utils as ref_utils
         import torch.distributions as distrib
 
+        c = CONFIGS[cfg_name]
+        k = c["kwargs"]
         torch.manual_seed(0)
         model = ref_srvp.StochasticLatentResidualVideoPredictor(
-            64, 1, 64, 128, 20, 20, False, 5, 256, 3, 512, 4, "dcgan")
+            k["nx"], k["nc"], k["nf"], k["nhx"], k["ny"], k["nz"],
+            k["skipco"], k["nt_inf"], k["nh_inf"], k["nlayers_inf"],
+            k["nh_res"], k["nlayers_res"], k["archi"])
         model.init(res_gain=1.41)
         model.train()
         optimizer = torch.optim.Adam(model.parameters(), lr=3e-4)
         x = torch.from_numpy(
-            np.transpose(make_batch(), (0, 1, 4, 2, 3))).contiguous()
+            np.transpose(make_batch(cfg_name), (0, 1, 4, 2, 3))).contiguous()
+        seq_len, batch = c["seq_len"], c["batch"]
 
         def one_step():
             optimizer.zero_grad()
             x_, y, z, _, q_y_0_params, q_z_params, p_z_params, res = model(
-                x, SEQ_LEN, dt=1.0)
+                x, seq_len, dt=1.0 / c["oversampling"])
             nll = ref_utils.neg_logprob(x_, x, scale=1.0).sum()
             q_y_0 = ref_utils.make_normal_from_raw_params(q_y_0_params)
             kl_y_0 = distrib.kl_divergence(q_y_0, distrib.Normal(0, 1)).sum()
@@ -108,7 +159,7 @@ def bench_reference():
             p_z = ref_utils.make_normal_from_raw_params(p_z_params)
             kl_z = distrib.kl_divergence(q_z, p_z).sum()
             loss = (nll + kl_y_0 + kl_z
-                    + torch.norm(res, p=2, dim=2).sum()) / BATCH
+                    + torch.norm(res, p=2, dim=2).sum()) / batch
             loss.backward()
             optimizer.step()
             return float(loss)
@@ -119,7 +170,7 @@ def bench_reference():
         for _ in range(n_steps):
             loss = one_step()
         dt = time.perf_counter() - t0
-        fps = SEQ_LEN * BATCH * n_steps / dt
+        fps = seq_len * batch * n_steps / dt
         dev = "cuda" if torch.cuda.is_available() else "cpu"
         return fps, {"backend": f"torch-{dev}", "sec_per_step": dt / n_steps,
                      "loss": loss}
@@ -148,9 +199,7 @@ def bench_rollout():
     from srvp_tpu.models import srvp
     from srvp_tpu.models.srvp import SRVPConfig
 
-    cfg = SRVPConfig(nx=64, nc=1, nf=64, nhx=128, ny=20, nz=20, skipco=False,
-                     nt_inf=5, nh_inf=256, nlayers_inf=3, nh_res=512,
-                     nlayers_res=4, archi="dcgan")
+    cfg = SRVPConfig(**CONFIGS["smmnist-dcgan"]["kwargs"])
     params, state = srvp.init(jax.random.PRNGKey(0), cfg)
     on_tpu = jax.default_backend() == "tpu"
     dt = jnp.bfloat16 if on_tpu else jnp.float32
@@ -171,31 +220,41 @@ def bench_rollout():
     rng = jax.random.PRNGKey(0)
     x = rollout_decode(y0, w, rng)
     _ = float(x.sum())
-    import time as _t
     n = 10
-    t0 = _t.perf_counter()
+    t0 = time.perf_counter()
     for i in range(n):
         x = rollout_decode(y0, w, jax.random.fold_in(rng, i))
     _ = float(x.sum())
-    dtm = _t.perf_counter() - t0
+    dtm = time.perf_counter() - t0
     return (nt - 1) * bsz * n / dtm
 
 
 def main():
+    from srvp_tpu.utils.runtime import setup_compilation_cache
+    setup_compilation_cache()
     baseline = get_baseline()
-    ours_fps, info = bench_ours()
+    per_config = {}
+    for name in CONFIGS:
+        fps, info = bench_ours(name)
+        per_config[name] = {"train_frames_per_sec_per_chip": round(fps, 1),
+                            **info}
+    ours_fps = per_config["smmnist-dcgan"]["train_frames_per_sec_per_chip"]
     rollout_fps = bench_rollout()
     vs = ours_fps / baseline["train_frames_per_sec"] if baseline else float("nan")
     print(json.dumps({
         "metric": "train_frames_per_sec_per_chip",
-        "value": round(ours_fps, 1),
+        "value": ours_fps,
         "unit": "frames/s/chip",
         "vs_baseline": round(vs, 2) if baseline else None,
-        "ours": info,
+        "vs_baseline_note": "reference torch step measured on CPU by this "
+                            "harness (no CUDA device here; reference "
+                            "publishes no throughput numbers)",
+        "configs": per_config,
         "rollout_frames_per_sec_per_chip": round(rollout_fps, 1),
         "baseline": baseline,
         "config": {"dataset": "smmnist-synth", "archi": "dcgan",
-                   "seq_len": SEQ_LEN, "batch": BATCH},
+                   "seq_len": CONFIGS["smmnist-dcgan"]["seq_len"],
+                   "batch": CONFIGS["smmnist-dcgan"]["batch"]},
     }))
 
 
