@@ -160,7 +160,10 @@ def conv_block_apply(params, state, spec, x, train, skip=None, nt=None):
         h = conv(x, W[:, :, :cx], spec.stride, spec.padding)
         hs = conv(skip.astype(x.dtype), W[:, :, cx:], spec.stride, spec.padding)
         bsz = skip.shape[0]
-        h = (h.reshape((nt, bsz) + h.shape[1:]) + hs[None]).reshape(h.shape)
+        # h's folded batch is batch-major (b*nt + t), see srvp.encode; the
+        # (bsz, nt) split keeps the sharded example dim the major partner
+        # so GSPMD can partition this add.
+        h = (h.reshape((bsz, nt) + h.shape[1:]) + hs[:, None]).reshape(h.shape)
     # Residual-policy tag: under the stage checkpoint (models/conv.py
     # _stage_apply) only conv outputs and BN stats are saved for backward;
     # BN-normalized/activated/pooled tensors are recomputed elementwise.
