@@ -75,6 +75,24 @@ def conv_transpose2d_preflipped(x, w, stride=1, padding=0):
     kh, kw = w.shape[0], w.shape[1]
     s = (stride, stride) if isinstance(stride, int) else stride
     p = (padding, padding) if isinstance(padding, int) else padding
+    if x.shape[1] == x.shape[2] == 1 and p == (0, 0):
+        # Transposed conv from a 1x1 input IS a dense layer producing the
+        # kh x kw output directly: out[n,oy,ox,co] = sum_ci x[n,ci] *
+        # W_unflipped[oy,ox,ci,co]. XLA's conv lowering runs this decoder
+        # stem at ~1% MFU (8.7 ms of the 24.5 ms dcgan step); the GEMM
+        # form runs at matmul speed. The stored kernel is pre-flipped, so
+        # flip the (static, tiny) spatial dims back before folding them
+        # into the GEMM's output dim.
+        n, ci = x.shape[0], x.shape[3]
+        co = w.shape[3]
+        wm = jnp.flip(w, axis=(0, 1)).astype(x.dtype)
+        wm = wm.transpose(2, 0, 1, 3).reshape(ci, kh * kw * co)
+        return (x.reshape(n, ci) @ wm).reshape(n, kh, kw, co)
+    # NOTE: a phase-decomposed formulation of the 4x4/s2/p1 case (four 2x2
+    # stride-1 convs + interleave — the standard dense-MAC rewrite of a
+    # strided convT) was measured at 36.9 ms vs 25.4 ms for the dcgan step:
+    # the interleave materialization and lost BN-stat fusion cost more than
+    # the ~10% MXU utilization of XLA's lhs_dilation lowering.
     pads = [(kh - 1 - p[0], kh - 1 - p[0]), (kw - 1 - p[1], kw - 1 - p[1])]
     return lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(1, 1), padding=pads,
