@@ -54,6 +54,33 @@ def conv2d(x, w, stride=1, padding=0):
         dimension_numbers=_DIMS)
 
 
+def _conv2d_smallcin(x, w, s, p):
+    """Encoder-stem conv (Cin <= 4) as shifted-patch gather + 1x1 matmul.
+
+    NOT routed by default: although XLA's direct lowering of the stem
+    (K = kh*kw*Cin of 9-48) profiles ~23x below the memory bound, swapping
+    in this formulation measured net-SLOWER at the step level (dcgan
+    25.6 -> 26.2 ms, kth 290 -> 294 ms) — the same global layout/fusion
+    equilibrium effect as every other local rewrite tried in round 2 (see
+    docs/DESIGN.md). Kept (with CPU-verified parity in tests/test_ops.py)
+    as the building block for a future whole-stage rewrite.
+    """
+    kh, kw, ci, co = w.shape
+    n, h, ww_, _ = x.shape
+    oh = (h + p[0][0] + p[0][1] - kh) // s[0] + 1
+    ow = (ww_ + p[1][0] + p[1][1] - kw) // s[1] + 1
+    xp = jnp.pad(x, ((0, 0), p[0], p[1], (0, 0)))
+    taps = [
+        lax.slice(xp, (0, ky, kx, 0),
+                  (n, ky + (oh - 1) * s[0] + 1, kx + (ow - 1) * s[1] + 1, ci),
+                  (1, s[0], s[1], 1))
+        for ky in range(kh) for kx in range(kw)
+    ]
+    patches = jnp.concatenate(taps, axis=-1)          # (N, oh, ow, kh*kw*ci)
+    wm = w.astype(x.dtype).reshape(kh * kw * ci, co)
+    return lax.dot_general(patches, wm, (((3,), (0,)), ((), ())))
+
+
 def conv_transpose2d(x, w, stride=1, padding=0):
     """torch.nn.functional.conv_transpose2d equivalent.
 

@@ -119,3 +119,21 @@ class TestConvOps:
         ref = F.leaky_relu(torch.from_numpy(x), 0.2)
         ours = convops.leaky_relu(jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-6)
+
+
+def test_conv2d_smallcin_matches_direct_conv():
+    """Patch-gather + GEMM stem-conv formulation (kept as a building block,
+    not routed by default — see convops._conv2d_smallcin) must match the
+    direct conv exactly for the stem shapes of both archis."""
+    from jax import lax
+    rs = np.random.RandomState(11)
+    for (k, s, p, ci, co, h) in [(4, 2, 1, 1, 8, 16),   # dcgan stem
+                                 (3, 1, 1, 3, 8, 16)]:  # vgg stem, RGB
+        x = jnp.asarray(rs.randn(2, h, h, ci).astype(np.float32))
+        w = jnp.asarray(rs.randn(k, k, ci, co).astype(np.float32))
+        ref = lax.conv_general_dilated(
+            x, w, (s, s), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = convops._conv2d_smallcin(x, w, (s, s), [(p, p), (p, p)])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
