@@ -88,7 +88,7 @@ def bench_ours(cfg_name, steps=STEPS):
 
     # XLA's FLOP count for one compiled train step (fwd+bwd+Adam).
     try:
-        cost = jax.jit(step.__wrapped__).lower(ts, x).compile().cost_analysis()
+        cost = step.lower(ts, x).compile().cost_analysis()
         flops_per_step = float(cost.get("flops", 0.0))
     except Exception:
         flops_per_step = 0.0
