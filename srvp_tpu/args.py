@@ -55,6 +55,10 @@ def create_args():
                 help="Number of data-loading prefetch threads.")
     distr_p.add("--n_devices", type=int, metavar="NB", default=None,
                 help="Number of devices for the data mesh axis (default: all).")
+    distr_p.add("--n_dcn", type=int, metavar="NB", default=1,
+                help="Number of slices for multi-slice pods: builds a 2-D "
+                     "(dcn, data) mesh with cross-slice collectives on DCN "
+                     "and in-slice collectives on ICI (1 = single slice).")
 
     # Model (reference args.py:77-107)
     model_p = p.add_argument_group(title="Model Configuration",

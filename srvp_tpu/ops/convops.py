@@ -133,8 +133,13 @@ def max_pool2d(x, window=2, stride=2):
     (ops/pallas/spatial.py, see _pallas_spatial_max_hw for the measured
     gating). Elsewhere the pool is a reshape + max over the (h, w)
     sub-window axes (one VPU pass with plain layouts) with reduce_window
-    as the general fallback. Gradient semantics are identical across all
-    three paths: tied window maxima share the incoming gradient equally.
+    as the general fallback. Gradient semantics for ties differ by path:
+    the reshape and Pallas paths share a tied window's gradient equally
+    among the maxima, while the reduce_window fallback's VJP lowers to
+    select-and-scatter, which routes the whole gradient to a single winner
+    (matching torch). Model shapes (2x2/2 on even dims) never hit the
+    fallback, so training numerics are unaffected; callers with
+    window != stride should be aware of the one-winner tie behavior.
     """
     n, h, w, c = x.shape
     if (window == 2 and stride == 2

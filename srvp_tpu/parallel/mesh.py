@@ -19,13 +19,24 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
 
 logger = logging.getLogger(__name__)
 _warned_replicated = set()
 
 
-def make_mesh(n_devices=None, devices=None):
-    """Builds a 1-D data-parallel mesh over the local devices.
+def make_mesh(n_devices=None, devices=None, dcn=1):
+    """Builds the data-parallel mesh over the local devices.
+
+    `dcn=1` (default): a 1-D `(data,)` mesh — every chip on one ICI domain.
+    `dcn>1`: a 2-D `(dcn, data)` mesh for multi-slice pods (SURVEY.md §2.4):
+    the leading axis maps across slices (collectives ride the slower DCN
+    links), the trailing axis within a slice (ICI). Parameters stay
+    replicated over both axes; the batch is sharded over both (see
+    `batch_sharding`), so gradient reduction becomes a hierarchical
+    in-slice + cross-slice all-reduce — GSPMD emits that automatically from
+    the mesh shape. Devices are assumed slice-major (jax.devices() orders by
+    process/slice index first, which is the multi-slice runtime's layout).
 
     Raises a targeted error when more devices are requested than exist;
     callers that want an N-device mesh on a smaller host (e.g. the driver's
@@ -45,13 +56,21 @@ def make_mesh(n_devices=None, devices=None):
                 f"initializes (the recipe used by tests/conftest.py and "
                 f"__graft_entry__.dryrun_multichip).")
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    devices = np.asarray(devices)
+    if dcn > 1:
+        if devices.size % dcn:
+            raise ValueError(
+                f"dcn={dcn} does not divide the {devices.size}-device mesh")
+        return Mesh(devices.reshape(dcn, -1), (DCN_AXIS, DATA_AXIS))
+    return Mesh(devices, (DATA_AXIS,))
 
 
 def batch_sharding(mesh, batch_axis=1, ndim=5):
-    """NamedSharding for a video batch: shard `batch_axis`, replicate the rest."""
+    """NamedSharding for a video batch: shard `batch_axis` over every mesh
+    axis (data on a 1-D mesh, (dcn, data) jointly on a 2-D mesh), replicate
+    the rest."""
     spec = [None] * ndim
-    spec[batch_axis] = DATA_AXIS
+    spec[batch_axis] = tuple(mesh.axis_names)
     return NamedSharding(mesh, P(*spec))
 
 

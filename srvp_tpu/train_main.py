@@ -52,7 +52,7 @@ def main(opt):
     if opt.seed is None:
         opt.seed = random.randint(1, 10000)
     assert isinstance(opt.seed, int) and opt.seed > 0
-    mesh = make_mesh(opt.get("n_devices"))
+    mesh = make_mesh(opt.get("n_devices"), dcn=opt.get("n_dcn") or 1)
     n_dev = mesh.devices.size
     print(f"Learning on {n_dev} device(s) (seed: {opt.seed}): "
           f"{mesh.devices.ravel()[0].platform}")

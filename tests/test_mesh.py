@@ -61,5 +61,48 @@ def test_shard_batch_dict_nondivisible_replicates(caplog):
 
 def test_dryrun_multichip_runs_in_process():
     # conftest provisions 8 virtual devices, so the in-process path runs.
+    # Covers both the 1-D mesh and the (2, 4) (dcn, data) mesh legs.
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_make_mesh_2d_dcn():
+    mesh = make_mesh(8, dcn=2)
+    assert mesh.axis_names == ("dcn", "data")
+    assert mesh.devices.shape == (2, 4)
+    x = np.zeros((4, 16, 8, 8, 1), np.float32)
+    xs = shard_batch(mesh, x)
+    # batch axis split over all 8 devices (both mesh axes jointly)
+    shard_shapes = {s.data.shape for s in xs.addressable_shards}
+    assert shard_shapes == {(4, 2, 8, 8, 1)}
+
+
+def test_make_mesh_dcn_indivisible_raises():
+    with pytest.raises(ValueError, match="dcn=3"):
+        make_mesh(8, dcn=3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_2d_mesh_training_matches_single_device():
+    """(dcn, data) 2-D mesh training must reproduce 1-device numerics, same
+    contract as the 1-D mesh test (tests/test_train.py)."""
+    from srvp_tpu import train_lib
+    from srvp_tpu.parallel import replicated
+    from tests.test_train import TINY, HP, synth_batch
+
+    x = synth_batch(nt=3, bsz=8, seed=2)
+
+    def run(mesh):
+        ts = train_lib.init_train_state(jax.random.PRNGKey(0), TINY, HP)
+        ts = jax.device_put(ts, replicated(mesh))
+        step = train_lib.make_train_step(TINY, HP)
+        losses = []
+        xs = shard_batch(mesh, x)
+        for _ in range(3):
+            ts, m = step(ts, xs)
+            losses.append(float(m["loss"]))
+        return losses
+
+    losses_1 = run(make_mesh(1))
+    losses_2d = run(make_mesh(8, dcn=2))
+    np.testing.assert_allclose(losses_1, losses_2d, rtol=2e-4)
