@@ -47,14 +47,17 @@ def _build_compute(cfg, nt_cond, nt_test, o_inf, o_gen, compute_dtype,
         w = srvp.infer_w(cfg, params, hx32, train=False)
         hx_z = lstm_apply(params["inf_z"], hx32)
 
-        # ---- fold the sample axis into the batch ----
-        hx32_f = jnp.tile(hx32, (1, n_samples, 1))
-        hx_z_f = jnp.tile(hx_z, (1, n_samples, 1))
-        w_f = jnp.tile(w, (n_samples, 1))
+        # ---- fold the sample axis into the batch, VIDEO-MAJOR ----
+        # Folded row b*S+s keeps all S samples of one video contiguous, so a
+        # GSPMD mesh that shards the video axis shards the folded axis too
+        # (same batch-major treatment as training, models/srvp.py) and the
+        # per-video best/worst reduction stays device-local.
+        hx32_f = jnp.repeat(hx32, n_samples, axis=1)
+        hx_z_f = jnp.repeat(hx_z, n_samples, axis=1)
+        w_f = jnp.repeat(w, n_samples, axis=0)
         skips_f = None
         if skips is not None:
-            skips_f = [jnp.tile(s, (n_samples,) + (1,) * (s.ndim - 1))
-                       for s in skips]
+            skips_f = [jnp.repeat(s, n_samples, axis=0) for s in skips]
 
         k_y, k_inf, k_gen = jax.random.split(keys[0], 3)
         y_0, _ = srvp.infer_y(cfg, params, hx32_f[: cfg.nt_inf], k_y)
@@ -63,8 +66,9 @@ def _build_compute(cfg, nt_cond, nt_test, o_inf, o_gen, compute_dtype,
                                 oversampling=o_inf, rng=k_inf, train=False,
                                 hx_z=hx_z_f)
         # conditioning reconstruction: only sample 0 is kept (test.py:241-242)
+        # — rows b*S+0 of the video-major fold, i.e. stride-S over the batch.
         x_rec, _ = srvp.decode(cfg, params, bn_state, w.astype(compute_dtype),
-                               gen_inf.y[:, :bsz].astype(compute_dtype),
+                               gen_inf.y[:, ::n_samples].astype(compute_dtype),
                                skips, train=False)
         # pure prior rollout from the last inferred state (eval dt)
         if use_fused_rollout:
@@ -81,19 +85,20 @@ def _build_compute(cfg, nt_cond, nt_test, o_inf, o_gen, compute_dtype,
         x_pred = jnp.clip(x_pred.astype(jnp.float32), 0.0, 1.0)  # (T, S*B, ...)
 
         t_pred = x_pred.shape[0]
-        x_target_f = jnp.tile(x_target, (1, n_samples) + (1,) * (x_target.ndim - 2))
-        mse = frame_mse(x_pred, x_target_f)                       # (T, S*B, C)
-        psnr = (10 * jnp.log10(1.0 / mse)).mean(2).mean(0)        # (S*B,)
-        ssim_v = video_ssim(x_pred, x_target_f).mean(2).mean(0)   # (S*B,)
-        metrics = {"psnr": psnr.reshape(n_samples, bsz),
-                   "ssim": ssim_v.reshape(n_samples, bsz)}
+        x_target_f = jnp.repeat(x_target, n_samples, axis=1)
+        mse = frame_mse(x_pred, x_target_f)                       # (T, B*S, C)
+        psnr = (10 * jnp.log10(1.0 / mse)).mean(2).mean(0)        # (B*S,)
+        ssim_v = video_ssim(x_pred, x_target_f).mean(2).mean(0)   # (B*S,)
+        metrics = {"psnr": psnr.reshape(bsz, n_samples).T,
+                   "ssim": ssim_v.reshape(bsz, n_samples).T}
         if lpips_fn is not None:
             metrics["lpips"] = lpips_fn(x_pred, x_target_f).mean(0) \
-                .reshape(n_samples, bsz)
+                .reshape(bsz, n_samples).T
 
-        x_pred_u8 = jnp.transpose(x_pred * 255.0, (1, 0, 2, 3, 4)) \
-            .astype(jnp.uint8).reshape((n_samples, bsz, t_pred)
-                                       + x_pred.shape[2:])
+        x_pred_u8 = jnp.transpose(
+            (x_pred * 255.0).astype(jnp.uint8)
+            .reshape((t_pred, bsz, n_samples) + x_pred.shape[2:]),
+            (2, 1, 0, 3, 4, 5))
         return x_pred_u8, _to_u8(x_rec.astype(jnp.float32)), metrics
 
     return compute
@@ -148,38 +153,66 @@ def make_select_chunk(cfg, nt_cond, nt_test, o_inf, o_gen, metric_names,
         chunk = keys.shape[0]
         carry = dict(carry)
         carry["rec"] = jnp.where(chunk_start == 0, x_rec_u8, carry["rec"])
-        for s in range(chunk):
+        n_rand = carry["random"].shape[0]
+
+        # lax.fori_loop over the chunk's samples: compile size is constant in
+        # (chunk, metrics) instead of the fully-unrolled update chain
+        # (round-2 version scaled compile time with chunk x metrics).
+        def body(s, c):
             gid = chunk_start + s
-            frm = x_pred_u8[s]
-            for r in range(carry["random"].shape[0]):
-                carry["random"] = carry["random"].at[r].set(
-                    jnp.where(gid == r, frm, carry["random"][r]))
+            frm = jax.lax.dynamic_index_in_dim(x_pred_u8, s, 0, keepdims=False)
+            slot = (jnp.arange(n_rand) == gid).reshape(
+                (n_rand,) + (1,) * frm.ndim)
+            c["random"] = jnp.where(slot, frm[None], c["random"])
             for name in metric_names:
-                v = metrics[name][s]
-                better = v < carry[f"{name}_best_val"] if LOWER_BETTER[name] \
-                    else v > carry[f"{name}_best_val"]
-                worse = v > carry[f"{name}_worst_val"] if LOWER_BETTER[name] \
-                    else v < carry[f"{name}_worst_val"]
+                v = jax.lax.dynamic_index_in_dim(metrics[name], s, 0,
+                                                 keepdims=False)
+                better = v < c[f"{name}_best_val"] if LOWER_BETTER[name] \
+                    else v > c[f"{name}_best_val"]
+                worse = v > c[f"{name}_worst_val"] if LOWER_BETTER[name] \
+                    else v < c[f"{name}_worst_val"]
                 bshape = better.reshape((-1,) + (1,) * (frm.ndim - 1))
                 wshape = worse.reshape((-1,) + (1,) * (frm.ndim - 1))
-                carry[f"{name}_best_val"] = jnp.where(
-                    better, v, carry[f"{name}_best_val"])
-                carry[f"{name}_best_frm"] = jnp.where(
-                    bshape, frm, carry[f"{name}_best_frm"])
-                carry[f"{name}_worst_val"] = jnp.where(
-                    worse, v, carry[f"{name}_worst_val"])
-                carry[f"{name}_worst_frm"] = jnp.where(
-                    wshape, frm, carry[f"{name}_worst_frm"])
-        return carry
+                c[f"{name}_best_val"] = jnp.where(
+                    better, v, c[f"{name}_best_val"])
+                c[f"{name}_best_frm"] = jnp.where(
+                    bshape, frm, c[f"{name}_best_frm"])
+                c[f"{name}_worst_val"] = jnp.where(
+                    worse, v, c[f"{name}_worst_val"])
+                c[f"{name}_worst_frm"] = jnp.where(
+                    wshape, frm, c[f"{name}_worst_frm"])
+            return c
+
+        return jax.lax.fori_loop(0, chunk, body, carry)
 
     return select_chunk
 
 
+def _carry_shardings(mesh, carry):
+    """Per-leaf NamedShardings for the selection carry: every leaf is
+    per-video, with the video axis at 1 for `random` and 0 elsewhere."""
+    from srvp_tpu.parallel.mesh import batch_sharding
+    return {k: batch_sharding(mesh, 1 if k == "random" else 0, v.ndim)
+            for k, v in carry.items()}
+
+
 def run_test_device(select_fn, params, bn_state, loader, nt_cond, nt_test,
                     n_samples, chunk, base_key, metric_names, hw_c,
-                    progress=True):
+                    progress=True, mesh=None, pad_to=None):
     """Evaluation loop with device-side selection: per batch, only the
-    selected artifacts are transferred (vs all n_samples in run_test)."""
+    selected artifacts are transferred (vs all n_samples in run_test).
+
+    `mesh`: optional jax.sharding.Mesh — the batch's VIDEO axis is sharded
+    over it (conditioning encode, all S rollouts and the per-video selection
+    partition cleanly because the sample fold is video-major, see
+    _build_compute). Multi-device eval is the TPU answer to the reference's
+    single-GPU test.py loop (/root/reference/test.py:219-277).
+
+    `pad_to`: optional fixed video-batch size — ragged batches (the final
+    remainder of a 5000-video protocol) are edge-padded to this size so
+    exactly ONE program is compiled per (shape, mode), and so the batch
+    always divides the mesh. Padded videos are dropped on the host; metrics
+    and artifacts are unaffected (selection is strictly per-video)."""
     chunk = min(chunk, n_samples)
     assert n_samples % chunk == 0
     n_chunks = n_samples // chunk
@@ -190,30 +223,56 @@ def run_test_device(select_fn, params, bn_state, loader, nt_cond, nt_test,
     results = {name: [] for name in metric_names}
     best_samples = {name: [] for name in metric_names}
     worst_samples = {name: [] for name in metric_names}
+    if mesh is not None:
+        from srvp_tpu.parallel.mesh import batch_sharding, replicated
+        params = jax.device_put(params, replicated(mesh))
+        bn_state = jax.device_put(bn_state, replicated(mesh))
+        if pad_to is not None:
+            assert pad_to % mesh.devices.size == 0, (
+                f"pad_to={pad_to} must divide the {mesh.devices.size}-device "
+                "mesh")
 
     for b_idx, batch in enumerate(loader):
         x = np.asarray(batch)[:nt_test]
-        bsz = x.shape[1]
+        real_bsz = x.shape[1]
+        bsz = real_bsz
+        if pad_to is not None:
+            assert real_bsz <= pad_to, (real_bsz, pad_to)
+            bsz = pad_to
+        elif mesh is not None:
+            n_dev = mesh.devices.size
+            bsz = -(-real_bsz // n_dev) * n_dev
+        if bsz != real_bsz:
+            x = np.pad(x, ((0, 0), (0, bsz - real_bsz))
+                       + ((0, 0),) * (x.ndim - 2), mode="edge")
         x_cond = jnp.asarray(x[:nt_cond])
         x_target = jnp.asarray(x[nt_cond:])
-        cond.append(_host_u8(x[:nt_cond]))
-        gt.append(_host_u8(x[nt_cond:]))
+        cond.append(_host_u8(x[:nt_cond, :real_bsz]))
+        gt.append(_host_u8(x[nt_cond:, :real_bsz]))
 
         carry = init_select_carry(metric_names, bsz, t_pred, nt_cond, hw_c,
                                   n_random)
+        if mesh is not None:
+            shardings = _carry_shardings(mesh, carry)
+            carry = {k: jax.device_put(v, shardings[k])
+                     for k, v in carry.items()}
+            x_cond = jax.device_put(x_cond,
+                                    batch_sharding(mesh, 1, x_cond.ndim))
+            x_target = jax.device_put(x_target,
+                                      batch_sharding(mesh, 1, x_target.ndim))
         for c in range(n_chunks):
             keys = jax.random.split(
                 jax.random.fold_in(jax.random.fold_in(base_key, b_idx), c), chunk)
             carry = select_fn(carry, params, bn_state, x_cond, x_target, keys,
                               jnp.int32(c * chunk))
         carry = jax.device_get(carry)
-        cond_rec.append(carry["rec"])
+        cond_rec.append(carry["rec"][:real_bsz])
         for r in range(n_random):
-            random_samples[r].append(carry["random"][r])
+            random_samples[r].append(carry["random"][r][:real_bsz])
         for name in metric_names:
-            results[name].append(carry[f"{name}_best_val"])
-            best_samples[name].append(carry[f"{name}_best_frm"])
-            worst_samples[name].append(carry[f"{name}_worst_frm"])
+            results[name].append(carry[f"{name}_best_val"][:real_bsz])
+            best_samples[name].append(carry[f"{name}_best_frm"][:real_bsz])
+            worst_samples[name].append(carry[f"{name}_worst_frm"][:real_bsz])
         if progress:
             print(f"  batch {b_idx + 1} done", flush=True)
 

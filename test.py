@@ -52,6 +52,10 @@ def create_test_args():
           help="Checkpoint file in xp_dir (.npz native, .pt converted).")
     p.add("--device", type=int, metavar="DEVICE", default=None,
           help="Accepted for compatibility; TPU devices are auto-detected.")
+    p.add("--n_devices", type=int, metavar="NB", default=None,
+          help="Number of devices to shard evaluation over (default: all). "
+               "The video batch is sharded over the mesh; results are "
+               "identical to single-device evaluation.")
     p.add("--fvd", action="store_true", help="Whether to compute FVD.")
     p.add("--test_seed", type=int, metavar="SEED", default=1, help="Manual seed.")
     p.add("--samples_chunk", type=int, metavar="NB", default=10,
@@ -125,10 +129,25 @@ def main(opt):
                                               o_gen, metric_names,
                                               lpips_fn=lpips_fn,
                                               use_fused_rollout=use_fused)
+    # Shard the video batch over the device mesh; edge-pad ragged batches to
+    # --batch_size so one program is compiled per shape and every batch
+    # divides the mesh (padded videos are dropped on the host).
+    from srvp_tpu.parallel import make_mesh
+    if opt.get("n_devices") is not None:
+        assert opt.batch_size % opt.n_devices == 0, \
+            "--batch_size must divide --n_devices"
+        mesh = make_mesh(opt.n_devices)
+    else:
+        # default: the largest device count that divides the batch
+        n = len(jax.devices())
+        while opt.batch_size % n:
+            n -= 1
+        mesh = make_mesh(n)
     results, samples, cond, gt = eval_lib.run_test_device(
         select_chunk, params, bn_state, iter(loader), nt_cond, nt_test,
         opt.n_samples, opt.samples_chunk, jax.random.PRNGKey(opt.test_seed),
-        metric_names, (cfg.nx, cfg.nx, cfg.nc))
+        metric_names, (cfg.nx, cfg.nx, cfg.nc), mesh=mesh,
+        pad_to=opt.batch_size)
 
     # ----- FVD (reference test.py:295-302) -----
     fvd_value = None
