@@ -1,0 +1,319 @@
+// Native batch PNG decoder for the KTH/BAIR input service.
+//
+// The reference feeds its GPUs with 4 torch DataLoader worker *processes*
+// doing PIL decodes (/root/reference/train.py:261-266). A TPU host feeding
+// ~7-8k frames/s cannot afford PIL's per-image Python overhead, so this
+// decodes whole batches of frame files in C++ across a thread pool, writing
+// straight into the caller-provided uint8 tensor.
+//
+// Two decode paths:
+//   * fast path: minimal PNG reader (chunk parse -> libdeflate zlib
+//     inflate -> per-row defilter) for the common case our datasets ship —
+//     8-bit, non-interlaced, gray or RGB. libdeflate inflates ~2-3x faster
+//     than zlib, which matters on input-bound single-socket hosts.
+//   * fallback: libpng simplified API for anything else (palette, 16-bit,
+//     interlaced, RGBA...).
+//
+// Channel semantics match the Python loaders exactly:
+//   channels == 1: grayscale files read as-is; color files contribute their
+//     RED channel (data/kth.py get_item keeps frame[:, :, 0], NOT a luma
+//     conversion, so no gray transform may be applied).
+//   channels == 3: RGB (alpha, if any, is composited against black by the
+//     libpng fallback).
+
+#include <fcntl.h>
+#include <libdeflate.h>
+#include <png.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline uint32_t be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+inline int paeth(int a, int b, int c) {
+  const int p = a + b - c;
+  const int pa = p > a ? p - a : a - p;
+  const int pb = p > b ? p - b : b - p;
+  const int pc = p > c ? p - c : c - p;
+  if (pa <= pb && pa <= pc) return a;
+  return pb <= pc ? b : c;
+}
+
+// One defiltered row. BPP is a compile-time constant so the per-byte loops
+// specialize (bpp 1 for gray, 3 for RGB) and the left-neighbor chain stays
+// in registers.
+template <int BPP>
+bool defilter_row(uint8_t f, const uint8_t* __restrict src,
+                  uint8_t* __restrict dst, const uint8_t* __restrict prev,
+                  int stride) {
+  switch (f) {
+    case 0:
+      std::memcpy(dst, src, stride);
+      return true;
+    case 1: {  // Sub
+      uint8_t left[BPP];
+      for (int k = 0; k < BPP; ++k) left[k] = dst[k] = src[k];
+      for (int i = BPP; i < stride; i += BPP)
+        for (int k = 0; k < BPP; ++k)
+          left[k] = dst[i + k] = uint8_t(src[i + k] + left[k]);
+      return true;
+    }
+    case 2:  // Up
+      if (prev) {
+        for (int i = 0; i < stride; ++i) dst[i] = uint8_t(src[i] + prev[i]);
+      } else {
+        std::memcpy(dst, src, stride);
+      }
+      return true;
+    case 3: {  // Average
+      uint8_t left[BPP] = {0};
+      for (int i = 0; i < stride; i += BPP)
+        for (int k = 0; k < BPP; ++k) {
+          const int up = prev ? prev[i + k] : 0;
+          left[k] = dst[i + k] =
+              uint8_t(src[i + k] + ((left[k] + up) >> 1));
+        }
+      return true;
+    }
+    case 4: {  // Paeth
+      uint8_t left[BPP] = {0}, ul[BPP] = {0};
+      for (int i = 0; i < stride; i += BPP)
+        for (int k = 0; k < BPP; ++k) {
+          const int up = prev ? prev[i + k] : 0;
+          left[k] = dst[i + k] =
+              uint8_t(src[i + k] + paeth(left[k], up, ul[k]));
+          ul[k] = uint8_t(up);
+        }
+      return true;
+    }
+    default:
+      return false;
+  }
+}
+
+// Undo PNG row filters over raw (h rows of 1 + w*bpp bytes each), producing
+// packed pixel rows at out (h * w * bpp).
+template <int BPP>
+bool defilter(uint8_t* raw, uint8_t* out, int h, int w) {
+  const int stride = w * BPP;
+  const uint8_t* prev = nullptr;
+  for (int y = 0; y < h; ++y) {
+    const uint8_t f = raw[y * (stride + 1)];
+    const uint8_t* src = raw + y * (stride + 1) + 1;
+    uint8_t* dst = out + y * stride;
+    if (!defilter_row<BPP>(f, src, dst, prev, stride)) return false;
+    prev = dst;
+  }
+  return true;
+}
+
+struct ScratchBufs {
+  std::vector<uint8_t> file, idat, raw, pixels;
+  libdeflate_decompressor* inflator = nullptr;
+  ScratchBufs() : inflator(libdeflate_alloc_decompressor()) {}
+  ~ScratchBufs() {
+    if (inflator) libdeflate_free_decompressor(inflator);
+  }
+};
+
+// Fast path. Returns 0 on success, -1 = "not handled, use libpng",
+// positive = hard error.
+int decode_fast(const char* path, uint8_t* dst, int h, int w, int channels,
+                ScratchBufs& sb) {
+  if (!sb.inflator) return -1;
+  // raw syscalls, one read: open/fstat/read/close — syscalls dominate
+  // small-file I/O on sandboxed hosts, so keep the count minimal
+  const int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return 1;
+  struct stat st;
+  if (::fstat(fd, &st) != 0) {
+    ::close(fd);
+    return 1;
+  }
+  const long fsize = st.st_size;
+  if (fsize < 45) {  // signature + IHDR + minimal IDAT/IEND
+    ::close(fd);
+    return 1;
+  }
+  if ((long)sb.file.size() < fsize) sb.file.resize(fsize);
+  long got_bytes = 0;
+  while (got_bytes < fsize) {
+    const ssize_t r =
+        ::read(fd, sb.file.data() + got_bytes, fsize - got_bytes);
+    if (r <= 0) break;
+    got_bytes += r;
+  }
+  ::close(fd);
+  if (got_bytes != fsize) return 1;
+
+  static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n'};
+  if (std::memcmp(sb.file.data(), sig, 8) != 0) return 1;
+
+  int width = 0, height = 0, bit_depth = 0, color_type = 0, interlace = 0;
+  sb.idat.clear();
+  size_t off = 8;
+  while (off + 8 <= (size_t)fsize) {
+    const uint32_t len = be32(&sb.file[off]);
+    if (off + 12 + len > (size_t)fsize) return 1;
+    const uint8_t* type = &sb.file[off + 4];
+    const uint8_t* data = &sb.file[off + 8];
+    if (!std::memcmp(type, "IHDR", 4)) {
+      if (len != 13) return 1;
+      width = be32(data);
+      height = be32(data + 4);
+      bit_depth = data[8];
+      color_type = data[9];
+      interlace = data[12];
+    } else if (!std::memcmp(type, "IDAT", 4)) {
+      sb.idat.insert(sb.idat.end(), data, data + len);
+    } else if (!std::memcmp(type, "IEND", 4)) {
+      break;
+    }
+    off += 12 + len;  // len + type + data + crc (crc not verified)
+  }
+  if (width != w || height != h) return 2;
+  // color_type 0 = gray, 2 = RGB; anything else -> libpng fallback
+  if (bit_depth != 8 || interlace != 0 ||
+      (color_type != 0 && color_type != 2))
+    return -1;
+  const int src_c = color_type == 0 ? 1 : 3;
+  if (channels != 1 && channels != src_c) return -1;
+
+  const size_t stride = (size_t)w * src_c;
+  const size_t raw_size = (size_t)h * (stride + 1);
+  if (sb.raw.size() < raw_size) sb.raw.resize(raw_size);
+  // raw DEFLATE on the stream past the 2-byte zlib header: skips the
+  // adler32 verification pass (frames are re-validated by shape anyway)
+  if (sb.idat.size() < 6) return 3;
+  size_t got = 0;
+  if (libdeflate_deflate_decompress(sb.inflator, sb.idat.data() + 2,
+                                    sb.idat.size() - 2, sb.raw.data(),
+                                    raw_size, &got) != LIBDEFLATE_SUCCESS ||
+      got != raw_size)
+    return 3;
+
+  if (src_c == channels) {
+    const bool ok = src_c == 1 ? defilter<1>(sb.raw.data(), dst, h, w)
+                               : defilter<3>(sb.raw.data(), dst, h, w);
+    return ok ? 0 : 3;
+  }
+  // RGB source, gray requested: defilter to scratch, take the red channel.
+  if (sb.pixels.size() < (size_t)h * stride)
+    sb.pixels.resize((size_t)h * stride);
+  if (!defilter<3>(sb.raw.data(), sb.pixels.data(), h, w)) return 3;
+  for (int i = 0; i < h * w; ++i) dst[i] = sb.pixels[3 * i];
+  return 0;
+}
+
+// libpng fallback for files the fast path declines.
+int decode_libpng(const char* path, uint8_t* dst, int h, int w,
+                  int channels) {
+  png_image image;
+  std::memset(&image, 0, sizeof image);
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_file(&image, path)) return 1;
+  if (static_cast<int>(image.height) != h ||
+      static_cast<int>(image.width) != w) {
+    png_image_free(&image);
+    return 2;
+  }
+  const bool src_color = (image.format & PNG_FORMAT_FLAG_COLOR) != 0;
+  if (channels == 1 && !src_color) {
+    image.format = PNG_FORMAT_GRAY;
+    return png_image_finish_read(&image, nullptr, dst, 0, nullptr) ? 0 : 3;
+  }
+  if (channels == 1) {  // color source: take the red channel, like [:, :, 0]
+    image.format = PNG_FORMAT_RGB;
+    std::vector<uint8_t> rgb(static_cast<size_t>(h) * w * 3);
+    if (!png_image_finish_read(&image, nullptr, rgb.data(), 0, nullptr))
+      return 3;
+    for (int i = 0; i < h * w; ++i) dst[i] = rgb[3 * i];
+    return 0;
+  }
+  if (channels == 3) {
+    image.format = PNG_FORMAT_RGB;
+    return png_image_finish_read(&image, nullptr, dst, 0, nullptr) ? 0 : 3;
+  }
+  png_image_free(&image);
+  return 4;
+}
+
+int decode_one(const char* path, uint8_t* dst, int h, int w, int channels,
+               ScratchBufs& sb) {
+  const int rc = decode_fast(path, dst, h, w, channels, sb);
+  if (rc <= 0) return rc == -1 ? decode_libpng(path, dst, h, w, channels) : rc;
+  return rc;
+}
+
+}  // namespace
+
+namespace {
+
+int decode_batch_impl(const char* const* paths, int n_frames, uint8_t* out,
+                      const int64_t* offsets, int h, int w, int channels,
+                      int n_threads) {
+  const size_t frame_bytes = static_cast<size_t>(h) * w * channels;
+  std::atomic<int> next(0);
+  std::atomic<int> failed(0);  // (index + 1) of first failure, 0 = none
+
+  auto worker = [&]() {
+    ScratchBufs sb;
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n_frames || failed.load(std::memory_order_relaxed)) return;
+      uint8_t* dst = out + (offsets ? (size_t)offsets[i] : frame_bytes * i);
+      if (decode_one(paths[i], dst, h, w, channels, sb)) {
+        int expected = 0;
+        failed.compare_exchange_strong(expected, i + 1);
+        return;
+      }
+    }
+  };
+
+  if (n_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failed.load();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decodes n_frames PNG files into out[n_frames, h, w, channels] (uint8,
+// C-contiguous). Returns 0 on success or (index + 1) of the first frame
+// that failed. Frames are distributed over n_threads workers.
+int srvp_png_decode_batch(const char* const* paths, int n_frames,
+                          uint8_t* out, int h, int w, int channels,
+                          int n_threads) {
+  return decode_batch_impl(paths, n_frames, out, nullptr, h, w, channels,
+                           n_threads);
+}
+
+// Same, but frame i is written at out + offsets[i] (bytes) — lets the
+// loader decode straight into the time-major collated batch layout
+// (T, B, H, W, C) with zero re-stacking copies on the host.
+int srvp_png_decode_batch_offsets(const char* const* paths, int n_frames,
+                                  uint8_t* out, const int64_t* offsets,
+                                  int h, int w, int channels, int n_threads) {
+  return decode_batch_impl(paths, n_frames, out, offsets, h, w, channels,
+                           n_threads);
+}
+
+}  // extern "C"

@@ -37,6 +37,38 @@ class BAIR(VideoDataset):
             x[t] = np.array(Image.open(vid[t0 + t]))
         return x
 
+    def get_batch_seeded(self, indices, seeds, n_threads=4):
+        """Native input service: one C++ decode pass for the whole batch's
+        frame files (native/png_decode.cpp). Same seeds -> same windows ->
+        same pixels as the per-item PIL path; None when the native library
+        is unavailable."""
+        from srvp_tpu.native import decode_png_batch
+        paths = []
+        for idx, seed in zip(indices, seeds):
+            vid = self.data[idx]
+            t0 = np.random.RandomState(seed).randint(30 - self.seq_len + 1) \
+                if self.train else 0
+            paths.extend(vid[t0:t0 + self.seq_len])
+        arr = decode_png_batch(paths, self.nx, self.nx, self.nc, n_threads)
+        if arr is None:
+            return None
+        return arr.reshape(len(indices), self.seq_len, self.nx, self.nx,
+                           self.nc)
+
+    def get_batch_timemajor_u8(self, indices, seeds, n_threads=4):
+        """Fully-collated native batch: decodes straight into the
+        (T, B, H, W, C) uint8 layout collate_uint8 would produce — zero
+        host-side restacking. None -> caller falls back."""
+        from srvp_tpu.native import decode_png_timemajor
+        paths = []
+        for idx, seed in zip(indices, seeds):
+            vid = self.data[idx]
+            t0 = np.random.RandomState(seed).randint(30 - self.seq_len + 1) \
+                if self.train else 0
+            paths.extend(vid[t0:t0 + self.seq_len])
+        return decode_png_timemajor(paths, len(indices), self.seq_len,
+                                    self.nx, self.nx, self.nc, n_threads)
+
     @classmethod
     def make_dataset(cls, data_dir, seq_len, train):
         root = join(data_dir, "processed_data", "train" if train else "test")

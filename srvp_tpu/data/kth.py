@@ -35,17 +35,55 @@ class KTH(VideoDataset):
     def get_item(self, index, rng=None):
         if not self.train:
             return self.data[index]
+        vid, t0 = self._sample_window(rng)
+        x = np.zeros((self.seq_len, self.nx, self.nx), dtype=np.uint8)
+        for t in range(self.seq_len):
+            frame = np.array(Image.open(vid[t0 + t]))
+            x[t] = frame[:, :, 0] if frame.ndim == 3 else frame
+        return x
+
+    def _sample_window(self, rng):
+        """Random video + temporal crop; draw order matches get_item so the
+        native batch path is bit-identical to the PIL path."""
         assert rng is not None
         while True:
             vid = self.data[rng.randint(len(self.data))]
             if len(vid) >= self.seq_len:
                 break
         t0 = rng.randint(len(vid) - self.seq_len + 1)
-        x = np.zeros((self.seq_len, self.nx, self.nx), dtype=np.uint8)
-        for t in range(self.seq_len):
-            frame = np.array(Image.open(vid[t0 + t]))
-            x[t] = frame[:, :, 0] if frame.ndim == 3 else frame
-        return x
+        return vid, t0
+
+    def get_batch_seeded(self, indices, seeds, n_threads=4):
+        """Native input service: one C++ decode pass for the whole batch's
+        frame files (native/png_decode.cpp). Same seeds -> same windows ->
+        same pixels as the per-item PIL path; returns None (fall back to
+        Python) when the native library is unavailable or on test folds
+        (whose data are arrays, not paths)."""
+        if not self.train:
+            return None
+        from srvp_tpu.native import decode_png_batch
+        paths = []
+        for seed in seeds:
+            vid, t0 = self._sample_window(np.random.RandomState(seed))
+            paths.extend(vid[t0:t0 + self.seq_len])
+        arr = decode_png_batch(paths, self.nx, self.nx, 1, n_threads)
+        if arr is None:
+            return None
+        return arr.reshape(len(seeds), self.seq_len, self.nx, self.nx)
+
+    def get_batch_timemajor_u8(self, indices, seeds, n_threads=4):
+        """Fully-collated native batch: decodes straight into the
+        (T, B, H, W, 1) uint8 layout collate_uint8 would produce — zero
+        host-side restacking. None -> caller falls back."""
+        if not self.train:
+            return None
+        from srvp_tpu.native import decode_png_timemajor
+        paths = []
+        for seed in seeds:
+            vid, t0 = self._sample_window(np.random.RandomState(seed))
+            paths.extend(vid[t0:t0 + self.seq_len])
+        return decode_png_timemajor(paths, len(seeds), self.seq_len,
+                                    self.nx, self.nx, 1, n_threads)
 
     @classmethod
     def make_dataset(cls, data_dir, nx, seq_len, train):

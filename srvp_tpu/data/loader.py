@@ -57,6 +57,12 @@ class DataLoader:
             return self.dataset.get_item(idx, np.random.RandomState(item_seed(pos)))
 
         native_fn = getattr(self.dataset, "get_batch_seeded", None)
+        # When the consumer wants the production uint8 time-major layout,
+        # prefer the fully-collated native path: frames decode straight
+        # into the (T, B, H, W, C) batch with no host restacking.
+        from srvp_tpu.data.base import collate_uint8
+        tm_fn = getattr(self.dataset, "get_batch_timemajor_u8", None) \
+            if self.collate_fn is collate_uint8 else None
         out_q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -67,11 +73,13 @@ class DataLoader:
                         return
                     lo = b * self.batch_size
                     hi = min(lo + self.batch_size, len(order))
+                    indices = [int(order[p]) for p in range(lo, hi)]
+                    seeds = [item_seed(p) for p in range(lo, hi)]
                     batch = None
-                    if native_fn is not None:
-                        arr = native_fn([int(order[p]) for p in range(lo, hi)],
-                                        [item_seed(p) for p in range(lo, hi)],
-                                        self.num_workers)
+                    if tm_fn is not None:
+                        batch = tm_fn(indices, seeds, self.num_workers)
+                    if batch is None and native_fn is not None:
+                        arr = native_fn(indices, seeds, self.num_workers)
                         if isinstance(arr, dict):  # pre-collated parts batch
                             batch = arr
                         elif arr is not None:

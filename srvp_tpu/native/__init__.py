@@ -1,3 +1,4 @@
 from srvp_tpu.native.loader import (  # noqa: F401
-    get_native_lib, mmnist_generate_batch, mmnist_parts_batch,
+    decode_png_batch, decode_png_timemajor, get_native_lib,
+    mmnist_generate_batch, mmnist_parts_batch,
 )

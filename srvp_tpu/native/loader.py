@@ -14,7 +14,8 @@ import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "mmnist_gen.cpp")
+_SRCS = [os.path.join(_REPO_ROOT, "native", f)
+         for f in ("mmnist_gen.cpp", "png_decode.cpp")]
 _LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "_srvp_native.so")
 
@@ -24,8 +25,9 @@ _tried = False
 
 
 def _build():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-           _SRC, "-o", _LIB_PATH]
+    cmd = (["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            "-pthread"]
+           + _SRCS + ["-lpng", "-lz", "-ldeflate", "-o", _LIB_PATH])
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -37,9 +39,11 @@ def get_native_lib():
             return _lib
         _tried = True
         try:
-            if (not os.path.exists(_LIB_PATH)
-                    or (os.path.exists(_SRC)
-                        and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH))):
+            stale = not os.path.exists(_LIB_PATH) or any(
+                os.path.exists(s)
+                and os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+                for s in _SRCS)
+            if stale:
                 _build()
             lib = ctypes.CDLL(_LIB_PATH)
             lib.mmnist_generate_batch.argtypes = [
@@ -57,6 +61,24 @@ def get_native_lib():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ]
             lib.mmnist_parts_batch.restype = None
+            try:
+                lib.srvp_png_decode_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                    ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int,
+                ]
+                lib.srvp_png_decode_batch.restype = ctypes.c_int
+                lib.srvp_png_decode_batch_offsets.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ]
+                lib.srvp_png_decode_batch_offsets.restype = ctypes.c_int
+            except Exception:
+                # pre-existing .so built before the PNG decoder existed and
+                # no compiler available to refresh it
+                lib.srvp_png_decode_batch = None
+                lib.srvp_png_decode_batch_offsets = None
             _lib = lib
         except Exception as e:
             print(f"srvp_tpu native engine unavailable ({e}); "
@@ -141,3 +163,55 @@ def mmnist_parts_batch(digits, frame_size, seq_len, max_speed, deterministic,
         num_digits, seeds.ctypes.data, batch, dh, dw,
         digits_out.ctypes.data, pos_out.ctypes.data, n_threads)
     return digits_out, pos_out
+
+
+def decode_png_batch(paths, h, w, channels, n_threads=4):
+    """Decodes a list of PNG file paths natively into (N, h, w, channels)
+    uint8 (channels == 1 drops the trailing axis: (N, h, w)).
+
+    channels == 1 takes a color file's RED channel — the exact semantics of
+    np.array(Image.open(p))[:, :, 0] in data/kth.py. Returns None if the
+    native library is unavailable; raises on decode failure (bad file,
+    wrong dimensions)."""
+    lib = get_native_lib()
+    if lib is None or getattr(lib, "srvp_png_decode_batch", None) is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, h, w, channels), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    rc = lib.srvp_png_decode_batch(arr, n, out.ctypes.data, h, w, channels,
+                                   max(1, n_threads))
+    if rc:
+        raise IOError(
+            f"native PNG decode failed for {paths[rc - 1]!r} "
+            f"(expected {h}x{w}, {channels} channel(s))")
+    return out[..., 0] if channels == 1 else out
+
+
+def decode_png_timemajor(paths, n_videos, seq_len, h, w, channels,
+                         n_threads=4):
+    """Decodes n_videos*seq_len frame files (video-major path order)
+    DIRECTLY into the collated time-major batch layout: (T, B, h, w,
+    channels) uint8 — no host-side re-stacking copy. Returns None when the
+    native library is unavailable."""
+    lib = get_native_lib()
+    if lib is None \
+            or getattr(lib, "srvp_png_decode_batch_offsets", None) is None:
+        return None
+    n = len(paths)
+    assert n == n_videos * seq_len
+    frame_bytes = h * w * channels
+    out = np.empty((seq_len, n_videos, h, w, channels), np.uint8)
+    # path i = (b, t); destination block (t, b)
+    b_idx, t_idx = np.divmod(np.arange(n, dtype=np.int64), seq_len)
+    offsets = np.ascontiguousarray(
+        (t_idx * n_videos + b_idx) * frame_bytes)
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    rc = lib.srvp_png_decode_batch_offsets(
+        arr, n, out.ctypes.data, offsets.ctypes.data, h, w, channels,
+        max(1, n_threads))
+    if rc:
+        raise IOError(
+            f"native PNG decode failed for {paths[rc - 1]!r} "
+            f"(expected {h}x{w}, {channels} channel(s))")
+    return out
