@@ -54,13 +54,13 @@ def conv_bn_kernel(x_hbm, w_ref, y_ref, stats_ref, acc_ref, xbuf, sem,
     for dy in range(3):
         for dx in range(3):
             xs = x[:, dy:dy + bh, :, :]
-            if dx == 0:
-                xs = jnp.pad(xs[:, :, 1:, :], ((0, 0), (0, 0), (0, 1), (0, 0)))
-            elif dx == 2:
+            if dx == 0:  # output col c reads input col c-1: shift right
                 xs = jnp.pad(xs[:, :, :-1, :], ((0, 0), (0, 0), (1, 0), (0, 0)))
+            elif dx == 2:  # output col c reads input col c+1: shift left
+                xs = jnp.pad(xs[:, :, 1:, :], ((0, 0), (0, 0), (0, 1), (0, 0)))
             acc += lax.dot_general(
                 w_ref[dy, dx], xs.reshape(cin, bh * w * bn),
-                (((1,), (0,)), ((), ())),
+                (((0,), (0,)), ((), ())),  # contract cin; w is (cin, cout)
                 preferred_element_type=jnp.float32,
             )
     acc = acc.reshape(cout, bh * w, bn)
@@ -79,7 +79,7 @@ def conv_bn_kernel(x_hbm, w_ref, y_ref, stats_ref, acc_ref, xbuf, sem,
         stats_ref[...] = acc_ref[...]
 
 
-def fused_conv_bn(x, w, bh=8, bn=256):
+def fused_conv_bn(x, w, bh=8, bn=256, interpret=False):
     cin, h, ww, n = x.shape
     cout = w.shape[-1]
     grid = (h // bh, n // bn)
@@ -87,6 +87,7 @@ def fused_conv_bn(x, w, bh=8, bn=256):
         conv_bn_kernel, bh=bh, cin=cin, cout=cout, h=h, w=ww, n=n, bn=bn)
     return pl.pallas_call(
         kernel,
+        interpret=interpret,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
@@ -122,14 +123,17 @@ def main():
     p.add_argument("--bh", type=int, default=8)
     p.add_argument("--bn", type=int, default=256)
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--interpret", action="store_true",
+                   help="Pallas interpret mode (CPU correctness check).")
     a = p.parse_args()
 
     n = (a.n // a.bn) * a.bn
     key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (a.cin, a.hw, a.hw, n), dtype=jnp.bfloat16)
-    w = jax.random.normal(key, (3, 3, a.cin, a.cout), dtype=jnp.bfloat16) * 0.05
+    dt_x = jnp.float32 if a.interpret else jnp.bfloat16
+    x = jax.random.normal(key, (a.cin, a.hw, a.hw, n), dtype=dt_x)
+    w = jax.random.normal(key, (3, 3, a.cin, a.cout), dtype=dt_x) * 0.05
 
-    f = jax.jit(lambda x, w: fused_conv_bn(x, w, a.bh, a.bn))
+    f = jax.jit(lambda x, w: fused_conv_bn(x, w, a.bh, a.bn, a.interpret))
     y, stats = f(x, w)
     y.block_until_ready()
 
@@ -139,9 +143,12 @@ def main():
         x_nhwc, w, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     got = jnp.transpose(y, (3, 1, 2, 0))
-    err = jnp.abs(got[:, 2:-2, 2:-2].astype(jnp.float32)
-                  - ref[:, 2:-2, 2:-2].astype(jnp.float32)).max()
-    print("interior max err:", float(err))
+    # the clamped-halo scaffold is wrong across the first/last ROW BLOCK
+    # (edge semantics are deferred to the real kernel); columns are exact
+    c = a.bh
+    err = jnp.abs(got[:, c:-c, :].astype(jnp.float32)
+                  - ref[:, c:-c, :].astype(jnp.float32)).max()
+    print(f"interior (rows {c}:-{c}) max err:", float(err))
 
     t0 = time.perf_counter()
     for _ in range(a.steps):
