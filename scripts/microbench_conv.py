@@ -70,8 +70,11 @@ def conv_bn_kernel(x_hbm, w_ref, y_ref, stats_ref, acc_ref, xbuf, sem,
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    acc_ref[0] += jnp.sum(acc, axis=(1, 2))
-    acc_ref[1] += jnp.sum(acc * acc, axis=(1, 2))
+    # keep reductions 2-D end to end: Mosaic rejects rank-1 vector layouts
+    acc2 = acc.reshape(cout, bh * w * bn)
+    s1 = jnp.sum(acc2, axis=1, keepdims=True)           # (cout, 1)
+    s2 = jnp.sum(acc2 * acc2, axis=1, keepdims=True)    # (cout, 1)
+    acc_ref[...] += jnp.concatenate([s1, s2], axis=1)   # (cout, 2)
 
     @pl.when(jnp.logical_and(i == pl.num_programs(0) - 1,
                              j == pl.num_programs(1) - 1))
@@ -97,15 +100,15 @@ def fused_conv_bn(x, w, bh=8, bn=256, interpret=False):
         out_specs=[
             pl.BlockSpec((cout, bh, ww, bn), lambda i, j: (0, i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, cout), lambda i, j: (0, 0),
+            pl.BlockSpec((cout, 2), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((cout, h, ww, n), x.dtype),
-            jax.ShapeDtypeStruct((2, cout), jnp.float32),
+            jax.ShapeDtypeStruct((cout, 2), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, cout), jnp.float32),
+            pltpu.VMEM((cout, 2), jnp.float32),
             pltpu.VMEM((cin, bh + 2, ww, bn), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
