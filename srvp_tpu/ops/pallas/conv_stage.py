@@ -44,7 +44,8 @@ LEAKY_SLOPE = 0.2  # reference LeakyReLU slope, module/conv.py make_conv_block
 
 def _fwd_kernel(x_hbm, w_ref, scale_ref, shift_ref, y_ref, stats_ref,
                 acc_ref, xbuf, sems, *, bh, cin, cout, h, w, n, bn,
-                n_valid, transform, act):
+                n_valid, transform, act, double_buffer=True,
+                edge_exact=True, stats_mask=True, packed=True):
     """Grid: (h // bh, n // bn), row-major (j fastest).
 
     xbuf: (2, cin, bh + 2, w, bn) double-buffered input slabs. Edge row
@@ -57,18 +58,25 @@ def _fwd_kernel(x_hbm, w_ref, scale_ref, shift_ref, y_ref, stats_ref,
     step = i * nj + j
 
     def _copy(ii, jj, slot, fire):
-        """3 statically-sized DMA variants (sizes must be static; only the
-        start row / dst offset are traced): top block loads bh+1 rows into
-        dst offset 1, bottom loads bh+1 into offset 0, interior loads bh+2.
-        xbuf row r always holds absolute row (ii*bh - 1 + r); the halo rows
-        that stay unwritten at the image edges are masked to zero by the
-        kernel body. Requires ni >= 2."""
+        """Edge-exact: 3 statically-sized DMA variants (sizes must be
+        static; only the start row / dst offset are traced): top block
+        loads bh+1 rows into dst offset 1, bottom loads bh+1 into offset 0,
+        interior loads bh+2. xbuf row r always holds absolute row
+        (ii*bh - 1 + r); the halo rows that stay unwritten at the image
+        edges are masked to zero by the kernel body. Requires ni >= 2.
+
+        Non-edge-exact (bench bisect only): one clamped bh+2-row DMA —
+        wrong across the first/last row block."""
         def mk(row_lo, dst_lo, rows):
             return pltpu.make_async_copy(
                 x_hbm.at[:, pl.ds(row_lo, rows), :, pl.ds(jj * bn, bn)],
                 xbuf.at[slot, :, pl.ds(dst_lo, rows)],
                 sems.at[slot],
             )
+
+        if not edge_exact:
+            fire(mk(jnp.clip(ii * bh - 1, 0, h - (bh + 2)), 0, bh + 2))
+            return
 
         @pl.when(ii == 0)
         def _top():
@@ -88,20 +96,24 @@ def _fwd_kernel(x_hbm, w_ref, scale_ref, shift_ref, y_ref, stats_ref,
     def wait_copy(ii, slot):
         _copy(ii, 0, slot, lambda c: c.wait())
 
-    slot = lax.rem(step, 2)
+    if double_buffer:
+        slot = lax.rem(step, 2)
 
-    @pl.when(step == 0)
-    def _warmup():
-        start_copy(i, j, slot)
+        @pl.when(step == 0)
+        def _warmup():
+            start_copy(i, j, slot)
 
-    @pl.when(step + 1 < ni * nj)
-    def _prefetch():
-        step1 = step + 1
-        start_copy(step1 // nj, lax.rem(step1, nj), 1 - slot)
+        @pl.when(step + 1 < ni * nj)
+        def _prefetch():
+            step1 = step + 1
+            start_copy(step1 // nj, lax.rem(step1, nj), 1 - slot)
 
-    wait_copy(i, slot)
-
-    x = xbuf[slot]  # (cin, bh + 2, w, bn)
+        wait_copy(i, slot)
+        x = xbuf[slot]  # (cin, bh + 2, w, bn)
+    else:
+        start_copy(i, j, 0)
+        wait_copy(i, 0)
+        x = xbuf[0]
     if transform:
         x = x * scale_ref[:, :1].reshape(cin, 1, 1, 1) \
             + shift_ref[:, :1].reshape(cin, 1, 1, 1)
@@ -110,26 +122,42 @@ def _fwd_kernel(x_hbm, w_ref, scale_ref, shift_ref, y_ref, stats_ref,
     elif act == "tanh":
         x = jnp.tanh(x)
     x = x.astype(y_ref.dtype)
-    # zero the out-of-image halo rows of edge blocks (exact padding=1)
-    row_ids = lax.broadcasted_iota(jnp.int32, (cin, bh + 2, w, bn), 1) \
-        + i * bh - 1
-    x = jnp.where((row_ids >= 0) & (row_ids < h), x, 0)
+    if edge_exact:
+        # zero the out-of-image halo rows of edge blocks (exact padding=1)
+        row_ids = lax.broadcasted_iota(jnp.int32, (cin, bh + 2, w, bn), 1) \
+            + i * bh - 1
+        x = jnp.where((row_ids >= 0) & (row_ids < h), x, 0)
 
-    acc = jnp.zeros((cout, bh * w * bn), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            xs = x[:, dy:dy + bh, :, :]
-            if dx == 0:  # output col c reads input col c-1: shift right
-                xs = jnp.pad(xs[:, :, :-1, :],
-                             ((0, 0), (0, 0), (1, 0), (0, 0)))
-            elif dx == 2:  # output col c reads input col c+1: shift left
-                xs = jnp.pad(xs[:, :, 1:, :],
-                             ((0, 0), (0, 0), (0, 1), (0, 0)))
-            acc += lax.dot_general(
-                w_ref[dy, dx], xs.reshape(cin, bh * w * bn),
-                (((0,), (0,)), ((), ())),  # contract cin; w is (cin, cout)
-                preferred_element_type=jnp.float32,
-            )
+    def tap(dy, dx):
+        xs = x[:, dy:dy + bh, :, :]
+        if dx == 0:  # output col c reads input col c-1: shift right
+            xs = jnp.pad(xs[:, :, :-1, :],
+                         ((0, 0), (0, 0), (1, 0), (0, 0)))
+        elif dx == 2:  # output col c reads input col c+1: shift left
+            xs = jnp.pad(xs[:, :, 1:, :],
+                         ((0, 0), (0, 0), (0, 1), (0, 0)))
+        return xs.reshape(cin, bh * w * bn)
+
+    if packed:
+        # single K = 9*cin contraction: a K=cin matmul only half-fills the
+        # 128-deep MXU at cin=64; stacking the 9 taps (tap-major, matching
+        # w.reshape(9*cin, cout)) restores full systolic depth.
+        xcat = jnp.concatenate(
+            [tap(dy, dx) for dy in range(3) for dx in range(3)], axis=0)
+        acc = lax.dot_general(
+            w_ref[...], xcat,
+            (((0,), (0,)), ((), ())),  # w_ref is (9*cin, cout)
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc = jnp.zeros((cout, bh * w * bn), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                acc += lax.dot_general(
+                    w_ref[dy, dx], tap(dy, dx),
+                    (((0,), (0,)), ((), ())),  # w is (cin, cout)
+                    preferred_element_type=jnp.float32,
+                )
     y_ref[...] = acc.astype(y_ref.dtype).reshape(cout, bh, w, bn)
 
     @pl.when(step == 0)
@@ -138,10 +166,13 @@ def _fwd_kernel(x_hbm, w_ref, scale_ref, shift_ref, y_ref, stats_ref,
 
     # batch statistics over valid columns only (batch padding masked out);
     # all reductions stay 2-D (Mosaic rejects rank-1 vector layouts)
-    acc3 = acc.reshape(cout, bh * w, bn)
-    col = lax.broadcasted_iota(jnp.int32, (cout, bh * w, bn), 2) + j * bn
-    acc3 = jnp.where(col < n_valid, acc3, 0.0)
-    acc2 = acc3.reshape(cout, bh * w * bn)
+    if stats_mask and n_valid < n:
+        acc3 = acc.reshape(cout, bh * w, bn)
+        col = lax.broadcasted_iota(jnp.int32, (cout, bh * w, bn), 2) + j * bn
+        acc2 = jnp.where(col < n_valid, acc3, 0.0).reshape(
+            cout, bh * w * bn)
+    else:
+        acc2 = acc.reshape(cout, bh * w * bn)
     s1 = jnp.sum(acc2, axis=1, keepdims=True)
     s2 = jnp.sum(acc2 * acc2, axis=1, keepdims=True)
     acc_ref[...] += jnp.concatenate([s1, s2], axis=1)
@@ -152,7 +183,9 @@ def _fwd_kernel(x_hbm, w_ref, scale_ref, shift_ref, y_ref, stats_ref,
 
 
 def conv3x3_block_fwd(x, w, scale=None, shift=None, act="leaky_relu",
-                      n_valid=None, bh=2, bn=128, interpret=False):
+                      n_valid=None, bh=2, bn=128, interpret=False,
+                      double_buffer=True, edge_exact=True, stats_mask=True,
+                      packed=True):
     """One fused VGG block forward on channel-major activations.
 
     x: (cin, h, w, n) raw (pre-BN) activations of the previous block (or
@@ -176,16 +209,25 @@ def conv3x3_block_fwd(x, w, scale=None, shift=None, act="leaky_relu",
 
     kernel = functools.partial(
         _fwd_kernel, bh=bh, cin=cin, cout=cout, h=h, w=ww, n=n, bn=bn,
-        n_valid=n_valid, transform=transform, act=act)
+        n_valid=n_valid, transform=transform, act=act,
+        double_buffer=double_buffer, edge_exact=edge_exact,
+        stats_mask=stats_mask, packed=packed)
     grid = (h // bh, n // bn)
+    n_slots = 2 if double_buffer else 1
+    if packed:  # tap-major (dy, dx, cin) rows, matching the kernel's concat
+        w = w.reshape(9 * cin, cout)
+        w_spec = pl.BlockSpec((9 * cin, cout), lambda i, j: (0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        w_spec = pl.BlockSpec((3, 3, cin, cout), lambda i, j: (0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         interpret=interpret,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # x streamed manually
-            pl.BlockSpec((3, 3, cin, cout), lambda i, j: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((cin, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cin, 128), lambda i, j: (0, 0),
@@ -203,8 +245,8 @@ def conv3x3_block_fwd(x, w, scale=None, shift=None, act="leaky_relu",
         ],
         scratch_shapes=[
             pltpu.VMEM((cout, 2), jnp.float32),
-            pltpu.VMEM((2, cin, bh + 2, ww, bn), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_slots, cin, bh + 2, ww, bn), x.dtype),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),

@@ -1,3 +1,3 @@
 from srvp_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, batch_sharding, replicated, shard_batch,
+    make_mesh, batch_sharding, replicated, shard_batch, pad_to_multiple,
 )

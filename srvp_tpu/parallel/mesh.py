@@ -102,6 +102,33 @@ def shard_batch(mesh, batch, batch_axis=1):
     return jax.device_put(batch, batch_sharding(mesh, batch_axis, batch.ndim))
 
 
+def pad_to_multiple(batch, n, batch_axis=1):
+    """Pads the batch axis up to a multiple of n by repeating the last
+    element; returns (padded, n_valid).
+
+    Lets ragged final val/test batches stay DISTRIBUTED over the mesh
+    (instead of the `shard_batch` replicated fallback, which runs the whole
+    batch on every device). Callers slice their per-example outputs back to
+    `n_valid`. Dense video batches carry batch on `batch_axis`; parts dicts
+    carry it on axis 0 of every leaf."""
+    def pad_arr(v, ax):
+        b = v.shape[ax]
+        r = (-b) % n
+        if r == 0:
+            return v, b
+        v = np.asarray(v)
+        idx = [slice(None)] * v.ndim
+        idx[ax] = slice(b - 1, b)
+        return np.concatenate(
+            [v, np.repeat(v[tuple(idx)], r, axis=ax)], axis=ax), b
+    if isinstance(batch, dict):
+        out, n_valid = {}, None
+        for k, v in batch.items():
+            out[k], n_valid = pad_arr(v, 0)
+        return out, n_valid
+    return pad_arr(batch, batch_axis)
+
+
 def _replicated_fallback(mesh, batch_size, n):
     key = (batch_size, n)
     if key not in _warned_replicated:

@@ -139,13 +139,21 @@ def make_eval_batch(cfg, hp, nt, n_samples=None):
 
 
 def evaluate(eval_batch_fn, params, bn_state, val_iter, n_iter_test, key,
-             shard_fn=None):
+             shard_fn=None, pad_to=1):
     """Runs validation over n_iter_test batches; returns -mean pred PSNR
-    (lower is better, drives best-model selection; reference train.py:132-189)."""
+    (lower is better, drives best-model selection; reference train.py:132-189).
+
+    `pad_to` > 1 pads ragged batches up to that multiple (repeating the last
+    video) so they still shard over the device mesh; the padded tail is
+    sliced off the per-video metrics before averaging."""
+    from srvp_tpu.parallel import pad_to_multiple
     total, n = 0.0, 0
     for j, batch in enumerate(val_iter):
         if j >= n_iter_test:
             break
+        n_valid = None
+        if pad_to > 1:
+            batch, n_valid = pad_to_multiple(batch, pad_to, batch_axis=1)
         if shard_fn is not None:
             x = shard_fn(batch)
         elif isinstance(batch, dict):
@@ -154,6 +162,8 @@ def evaluate(eval_batch_fn, params, bn_state, val_iter, n_iter_test, key,
             x = jnp.asarray(batch)
         k = jax.random.fold_in(key, j)
         pred_psnr = eval_batch_fn(params, bn_state, x, k)
+        if n_valid is not None:
+            pred_psnr = pred_psnr[:n_valid]
         total += float(jnp.mean(pred_psnr)) * pred_psnr.shape[0]
         n += pred_psnr.shape[0]
     return -total / max(n, 1)

@@ -168,7 +168,8 @@ def main(opt):
                 val_metric = train_lib.evaluate(
                     eval_batch, ts.params, ts.bn_state, iter(val_loader),
                     opt.n_iter_test, jax.random.fold_in(eval_key, itr),
-                    shard_fn=lambda b: shard_batch(mesh, b))
+                    shard_fn=lambda b: shard_batch(mesh, b),
+                    pad_to=mesh.devices.size)
                 print(f"[{itr}] val_metric (-PSNR): {val_metric:.4f}", flush=True)
                 mlog.log(itr, val_metric=val_metric)
                 if best_val_metric is None or best_val_metric > val_metric:

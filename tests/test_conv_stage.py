@@ -30,14 +30,15 @@ def xla_conv(x_cm, w):
     return jnp.transpose(y, (3, 1, 2, 0))
 
 
+@pytest.mark.parametrize("packed", [True, False])
 @pytest.mark.parametrize("h,w,bh", [(16, 8, 2), (16, 8, 4), (8, 16, 2)])
-def test_fwd_exact_vs_xla_no_transform(h, w, bh):
+def test_fwd_exact_vs_xla_no_transform(h, w, bh, packed):
     cin, cout, n = 8, 16, 128
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(cin, h, w, n).astype(np.float32))
     wgt = jnp.asarray(0.3 * rng.randn(3, 3, cin, cout).astype(np.float32))
     y, stats = conv3x3_block_fwd(x, wgt, act="none", bh=bh, bn=128,
-                                 interpret=True)
+                                 interpret=True, packed=packed)
     ref = xla_conv(x, wgt)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
     yf = np.asarray(ref, np.float64)

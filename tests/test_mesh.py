@@ -106,3 +106,43 @@ def test_2d_mesh_training_matches_single_device():
     losses_1 = run(make_mesh(1))
     losses_2d = run(make_mesh(8, dcn=2))
     np.testing.assert_allclose(losses_1, losses_2d, rtol=2e-4)
+
+
+def test_pad_to_multiple_dense_and_dict():
+    from srvp_tpu.parallel import pad_to_multiple
+    x = np.arange(3 * 5 * 2, dtype=np.float32).reshape(3, 5, 2)
+    xp, nv = pad_to_multiple(x, 8, batch_axis=1)
+    assert nv == 5 and xp.shape == (3, 8, 2)
+    np.testing.assert_array_equal(xp[:, :5], x)
+    np.testing.assert_array_equal(xp[:, 5:], np.repeat(x[:, 4:5], 3, axis=1))
+    # already divisible: untouched
+    xs, nv2 = pad_to_multiple(x, 5, batch_axis=1)
+    assert nv2 == 5 and xs is x
+    # parts dict: batch on axis 0 of every leaf
+    d = {"a": np.ones((6, 2)), "b": np.zeros((6, 3, 3))}
+    dp, nv3 = pad_to_multiple(d, 4, batch_axis=1)
+    assert nv3 == 6 and dp["a"].shape == (8, 2) and dp["b"].shape == (8, 3, 3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_evaluate_pads_ragged_batch_and_ignores_tail():
+    """A 5-video val batch on an 8-device mesh must shard (not replicate)
+    and produce the same metric as the unpadded single-device run."""
+    from srvp_tpu import train_lib
+
+    mesh = make_mesh(8)
+    batches = [np.random.RandomState(0).rand(4, 5, 8).astype(np.float32)]
+    seen_shapes = []
+
+    def fake_eval(params, bn_state, x, key):
+        seen_shapes.append(x.shape)
+        # per-video metric = mean over frames/features (axis 1 = videos)
+        import jax.numpy as jnp
+        return jnp.asarray(x).mean(axis=(0, 2))
+
+    ref = -float(np.mean(batches[0].mean(axis=(0, 2))))
+    got = train_lib.evaluate(
+        fake_eval, None, None, iter(batches), 1, jax.random.PRNGKey(0),
+        shard_fn=lambda b: shard_batch(mesh, b), pad_to=mesh.devices.size)
+    assert seen_shapes == [(4, 8, 8)]  # padded to the mesh multiple
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
