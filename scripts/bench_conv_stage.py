@@ -48,6 +48,8 @@ def main():
     p.add_argument("--no_packed", action="store_true",
                    help="9 separate K=cin matmuls instead of one K=9*cin")
     p.add_argument("--xla", action="store_true", help="time the XLA leg too")
+    p.add_argument("--xla_only", action="store_true",
+                   help="skip the Pallas leg (re-measure XLA alone)")
     p.add_argument("--vmem_kib", type=int, default=0)
     a = p.parse_args()
 
@@ -65,34 +67,39 @@ def main():
             edge_exact=not a.no_edge_exact, packed=not a.no_packed)
 
     def chain(x):
+        # stats are summed into a carried accumulator so no iteration's
+        # stats computation can be dead-code-eliminated (both legs must pay
+        # for conv AND stats every application for a fair comparison)
         def body(_, carry):
-            y, st = block(carry)
-            return y
-        y = lax.fori_loop(0, a.inner, body, x)
-        _, st = block(y)  # one more for the stats output
-        return st
+            y, acc = carry
+            y2, st = block(y)
+            return y2, acc + st
+        _, acc = lax.fori_loop(0, a.inner + 1, body,
+                               (x, jnp.zeros((c, 2), jnp.float32)))
+        return acc
 
-    opts = {"xla_tpu_scoped_vmem_limit_kib": str(a.vmem_kib)} \
-        if a.vmem_kib else None
-    f = jax.jit(chain).lower(x).compile(opts) if opts else jax.jit(chain)
-    st = f(x)
-    float(st.sum())
-    per_call = []
-    for _ in range(a.reps):
-        t0 = time.perf_counter()
+    flops = 2 * 9 * c * c * a.hw * a.hw * a.n
+    if not a.xla_only:
+        opts = {"xla_tpu_scoped_vmem_limit_kib": str(a.vmem_kib)} \
+            if a.vmem_kib else None
+        f = jax.jit(chain).lower(x).compile(opts) if opts else jax.jit(chain)
         st = f(x)
         float(st.sum())
-        per_call.append((time.perf_counter() - t0) / (a.inner + 1))
-    dt = min(per_call)
-    flops = 2 * 9 * c * c * a.hw * a.hw * a.n
-    print(f"pallas[{'D' if not a.no_double_buffer else '-'}"
-          f"{'E' if not a.no_edge_exact else '-'}"
-          f"{'T' if a.transform else '-'}"
-          f"{'P' if not a.no_packed else '-'} act={a.act} bh={a.bh}] "
-          f"{dt*1e3:.3f} ms/block  {flops/dt/1e12:.1f} TFLOP/s "
-          f"({flops/dt/197e12*100:.0f}% MFU)")
+        per_call = []
+        for _ in range(a.reps):
+            t0 = time.perf_counter()
+            st = f(x)
+            float(st.sum())
+            per_call.append((time.perf_counter() - t0) / (a.inner + 1))
+        dt = min(per_call)
+        print(f"pallas[{'D' if not a.no_double_buffer else '-'}"
+              f"{'E' if not a.no_edge_exact else '-'}"
+              f"{'T' if a.transform else '-'}"
+              f"{'P' if not a.no_packed else '-'} act={a.act} bh={a.bh}] "
+              f"{dt*1e3:.3f} ms/block  {flops/dt/1e12:.1f} TFLOP/s "
+              f"({flops/dt/197e12*100:.0f}% MFU)")
 
-    if not a.xla:
+    if not (a.xla or a.xla_only):
         return
 
     def xla_block(xn):
@@ -112,11 +119,12 @@ def main():
 
     def xla_chain(xn):
         def body(_, carry):
-            y, st = xla_block(carry)
-            return y
-        y = lax.fori_loop(0, a.inner, body, xn)
-        _, st = xla_block(y)
-        return st
+            y, acc = carry
+            y2, st = xla_block(y)
+            return y2, acc + st
+        _, acc = lax.fori_loop(0, a.inner + 1, body,
+                               (xn, jnp.zeros((c, 2), jnp.float32)))
+        return acc
 
     g = jax.jit(xla_chain)
     xn = jnp.transpose(x, (3, 1, 2, 0))

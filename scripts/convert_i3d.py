@@ -98,7 +98,11 @@ def main(out_path):
             f"{missing[:3]}")
     for key, shape in expected.items():
         got = tuple(arrays[key].shape)
-        if got != tuple(shape) and np.prod(got) != np.prod(shape):
+        # only squeeze-equivalent shapes are tolerated (e.g. (1,1,1,C) vs
+        # (C,)); same-numel permutations like a transposed conv kernel must
+        # fail here, not silently corrupt the npz
+        squeeze = lambda s: tuple(d for d in s if d != 1)
+        if got != tuple(shape) and squeeze(got) != squeeze(shape):
             raise RuntimeError(f"{key}: shape {got} != expected {shape}")
     np.savez_compressed(out_path, **arrays)
     print(f"saved {len(arrays)} arrays to {out_path}")

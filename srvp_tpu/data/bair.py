@@ -37,18 +37,24 @@ class BAIR(VideoDataset):
             x[t] = np.array(Image.open(vid[t0 + t]))
         return x
 
-    def get_batch_seeded(self, indices, seeds, n_threads=4):
-        """Native input service: one C++ decode pass for the whole batch's
-        frame files (native/png_decode.cpp). Same seeds -> same windows ->
-        same pixels as the per-item PIL path; None when the native library
-        is unavailable."""
-        from srvp_tpu.native import decode_png_batch
+    def _batch_paths(self, indices, seeds):
+        """The batch's frame paths in draw order. THE parity-critical spot:
+        same seeds -> same windows -> same pixels as the per-item PIL path
+        (get_item), for both native decode layouts."""
         paths = []
         for idx, seed in zip(indices, seeds):
             vid = self.data[idx]
             t0 = np.random.RandomState(seed).randint(30 - self.seq_len + 1) \
                 if self.train else 0
             paths.extend(vid[t0:t0 + self.seq_len])
+        return paths
+
+    def get_batch_seeded(self, indices, seeds, n_threads=4):
+        """Native input service: one C++ decode pass for the whole batch's
+        frame files (native/png_decode.cpp); None when the native library
+        is unavailable."""
+        from srvp_tpu.native import decode_png_batch
+        paths = self._batch_paths(indices, seeds)
         arr = decode_png_batch(paths, self.nx, self.nx, self.nc, n_threads)
         if arr is None:
             return None
@@ -60,12 +66,7 @@ class BAIR(VideoDataset):
         (T, B, H, W, C) uint8 layout collate_uint8 would produce — zero
         host-side restacking. None -> caller falls back."""
         from srvp_tpu.native import decode_png_timemajor
-        paths = []
-        for idx, seed in zip(indices, seeds):
-            vid = self.data[idx]
-            t0 = np.random.RandomState(seed).randint(30 - self.seq_len + 1) \
-                if self.train else 0
-            paths.extend(vid[t0:t0 + self.seq_len])
+        paths = self._batch_paths(indices, seeds)
         return decode_png_timemajor(paths, len(indices), self.seq_len,
                                     self.nx, self.nx, self.nc, n_threads)
 

@@ -53,19 +53,27 @@ class KTH(VideoDataset):
         t0 = rng.randint(len(vid) - self.seq_len + 1)
         return vid, t0
 
-    def get_batch_seeded(self, indices, seeds, n_threads=4):
-        """Native input service: one C++ decode pass for the whole batch's
-        frame files (native/png_decode.cpp). Same seeds -> same windows ->
-        same pixels as the per-item PIL path; returns None (fall back to
-        Python) when the native library is unavailable or on test folds
+    def _batch_paths(self, indices, seeds):
+        """The batch's frame paths in draw order. THE parity-critical spot:
+        same seeds -> same windows -> same pixels as the per-item PIL path
+        (get_item), for both native decode layouts. None on test folds
         (whose data are arrays, not paths)."""
         if not self.train:
             return None
-        from srvp_tpu.native import decode_png_batch
         paths = []
         for seed in seeds:
             vid, t0 = self._sample_window(np.random.RandomState(seed))
             paths.extend(vid[t0:t0 + self.seq_len])
+        return paths
+
+    def get_batch_seeded(self, indices, seeds, n_threads=4):
+        """Native input service: one C++ decode pass for the whole batch's
+        frame files (native/png_decode.cpp); returns None (fall back to
+        Python) when the native library is unavailable."""
+        from srvp_tpu.native import decode_png_batch
+        paths = self._batch_paths(indices, seeds)
+        if paths is None:
+            return None
         arr = decode_png_batch(paths, self.nx, self.nx, 1, n_threads)
         if arr is None:
             return None
@@ -75,13 +83,10 @@ class KTH(VideoDataset):
         """Fully-collated native batch: decodes straight into the
         (T, B, H, W, 1) uint8 layout collate_uint8 would produce — zero
         host-side restacking. None -> caller falls back."""
-        if not self.train:
-            return None
         from srvp_tpu.native import decode_png_timemajor
-        paths = []
-        for seed in seeds:
-            vid, t0 = self._sample_window(np.random.RandomState(seed))
-            paths.extend(vid[t0:t0 + self.seq_len])
+        paths = self._batch_paths(indices, seeds)
+        if paths is None:
+            return None
         return decode_png_timemajor(paths, len(seeds), self.seq_len,
                                     self.nx, self.nx, 1, n_threads)
 

@@ -17,6 +17,16 @@ import numpy as np
 from srvp_tpu.data.base import collate
 
 
+class _ProducerError:
+    """Sentinel carrying an exception out of the producer thread, so a bad
+    item (e.g. a corrupt PNG raising in the native decoder) fails the
+    training loop instead of hanging the consumer on a queue that will
+    never receive its end-of-epoch None."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 class DataLoader:
     def __init__(self, dataset, batch_size, shuffle=True, drop_last=True,
                  seed=0, num_workers=4, prefetch=2, collate_fn=collate):
@@ -67,28 +77,31 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    lo = b * self.batch_size
-                    hi = min(lo + self.batch_size, len(order))
-                    indices = [int(order[p]) for p in range(lo, hi)]
-                    seeds = [item_seed(p) for p in range(lo, hi)]
-                    batch = None
-                    if tm_fn is not None:
-                        batch = tm_fn(indices, seeds, self.num_workers)
-                    if batch is None and native_fn is not None:
-                        arr = native_fn(indices, seeds, self.num_workers)
-                        if isinstance(arr, dict):  # pre-collated parts batch
-                            batch = arr
-                        elif arr is not None:
-                            batch = self.collate_fn(list(arr))
-                    if batch is None:
-                        batch = self.collate_fn(
-                            list(pool.map(fetch, range(lo, hi))))
-                    out_q.put(batch)
-            out_q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        lo = b * self.batch_size
+                        hi = min(lo + self.batch_size, len(order))
+                        indices = [int(order[p]) for p in range(lo, hi)]
+                        seeds = [item_seed(p) for p in range(lo, hi)]
+                        batch = None
+                        if tm_fn is not None:
+                            batch = tm_fn(indices, seeds, self.num_workers)
+                        if batch is None and native_fn is not None:
+                            arr = native_fn(indices, seeds, self.num_workers)
+                            if isinstance(arr, dict):  # pre-collated parts
+                                batch = arr
+                            elif arr is not None:
+                                batch = self.collate_fn(list(arr))
+                        if batch is None:
+                            batch = self.collate_fn(
+                                list(pool.map(fetch, range(lo, hi))))
+                        out_q.put(batch)
+                out_q.put(None)
+            except BaseException as e:  # propagate to the consumer
+                out_q.put(_ProducerError(e))
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -97,6 +110,8 @@ class DataLoader:
                 batch = out_q.get()
                 if batch is None:
                     return
+                if isinstance(batch, _ProducerError):
+                    raise batch.exc
                 yield batch
         finally:
             stop.set()

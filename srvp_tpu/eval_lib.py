@@ -229,8 +229,8 @@ def run_test_device(select_fn, params, bn_state, loader, nt_cond, nt_test,
         bn_state = jax.device_put(bn_state, replicated(mesh))
         if pad_to is not None:
             assert pad_to % mesh.devices.size == 0, (
-                f"pad_to={pad_to} must divide the {mesh.devices.size}-device "
-                "mesh")
+                f"pad_to={pad_to} must be a multiple of the "
+                f"{mesh.devices.size}-device mesh size")
 
     for b_idx, batch in enumerate(loader):
         x = np.asarray(batch)[:nt_test]

@@ -24,9 +24,14 @@ KTH/vgg step (reference hot path /root/reference/module/conv.py:182-224):
   out-of-image halo rows exactly (padding=1 conv semantics).
 * 9 taps x one MXU matmul per tap: acc[cout, bh*W*bn] += W[dy,dx]^T @ x_tap.
 
-Gradient support (closed-form BN backward, conv-transpose dx, in-kernel dW
-accumulation) is built on the same layout in conv_stage_vjp (see
-make_stage_chain below for the custom-VJP wiring).
+FORWARD-ONLY, and deliberately not routed into the model: hardware
+measurements (scripts/bench_conv_stage.py; docs/DESIGN.md "Round-3
+whole-stage Pallas verdict") put this kernel at 17.6-18.7 ms on the
+64ch/64x64/N=2048 workhorse vs ~5.9 ms for XLA's in-step conv+stats
+fusion — the im2col taps must be materialized as explicit VPU copies
+inside Mosaic and cout=64 caps the MXU at half width, so the XLA
+equilibrium stands. Kept with its exactness tests as the recorded
+evidence for that conclusion.
 """
 
 import functools
@@ -226,7 +231,7 @@ def conv3x3_block_fwd(x, w, scale=None, shift=None, act="leaky_relu",
         interpret=interpret,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x streamed manually
+            pl.BlockSpec(memory_space=pl.ANY),   # x streamed manually
             w_spec,
             pl.BlockSpec((cin, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),

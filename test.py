@@ -135,7 +135,7 @@ def main(opt):
     from srvp_tpu.parallel import make_mesh
     if opt.get("n_devices") is not None:
         assert opt.batch_size % opt.n_devices == 0, \
-            "--batch_size must divide --n_devices"
+            "--n_devices must divide --batch_size"
         mesh = make_mesh(opt.n_devices)
     else:
         # default: the largest device count that divides the batch

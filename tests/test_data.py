@@ -127,3 +127,20 @@ class TestLoaderThreadInvariance:
         b1, b2 = first_batches(4)
         np.testing.assert_array_equal(a1, b1)
         np.testing.assert_array_equal(a2, b2)
+
+
+def test_loader_propagates_producer_exception():
+    """A raising get_item (e.g. corrupt PNG in a native decode path) must
+    fail the consumer promptly, not hang it waiting for a sentinel that the
+    dead producer thread never enqueues."""
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def get_item(self, index, rng):
+            raise IOError("corrupt frame")
+
+    loader = DataLoader(Bad(), batch_size=4, seed=0, num_workers=2)
+    import pytest as _pytest
+    with _pytest.raises(IOError, match="corrupt frame"):
+        next(iter(loader))
