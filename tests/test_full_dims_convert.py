@@ -35,11 +35,17 @@ FULL_CONFIGS = {
     "kth-vgg": srvp.SRVPConfig(
         nx=64, nc=1, nf=64, nhx=128, ny=50, nz=50, skipco=True, nt_inf=3,
         nh_inf=256, nlayers_inf=3, nh_res=512, nlayers_res=4, archi="vgg"),
+    # 3-channel input: covers channel-count-dependent paths in the stem
+    # conv / final decoder conv that nc=1 configs cannot
+    "bair-vgg": srvp.SRVPConfig(
+        nx=64, nc=3, nf=64, nhx=128, ny=50, nz=50, skipco=True, nt_inf=2,
+        nh_inf=256, nlayers_inf=3, nh_res=512, nlayers_res=4, archi="vgg"),
 }
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("name,o", [("smmnist-dcgan", 1), ("kth-vgg", 2)])
+@pytest.mark.parametrize("name,o", [("smmnist-dcgan", 1), ("kth-vgg", 2),
+                                    ("bair-vgg", 2)])
 def test_pt_checkpoint_roundtrip_full_dims(name, o, tmp_path):
     cfg = FULL_CONFIGS[name]
     torch.manual_seed(0)
