@@ -264,6 +264,16 @@ def main():
         if ref:
             per_config[name]["vs_baseline"] = round(
                 fps / ref["train_frames_per_sec"], 2)
+        # Progress snapshot after each config: on slow-compile days (remote
+        # compiles have run 3x the usual ~5 min) an outer timeout killing
+        # the remaining configs still leaves the partial numbers on disk
+        # and stderr, without adding lines to the one-JSON-line stdout
+        # contract.
+        snap = {"metric": "train_frames_per_sec_per_chip", "partial": True,
+                "configs": dict(per_config)}
+        with open("bench_partial.json", "w") as f:
+            json.dump(snap, f)
+        print(json.dumps(snap), file=sys.stderr, flush=True)
     ours_fps = per_config["smmnist-dcgan"]["train_frames_per_sec_per_chip"]
     rollout_fps = bench_rollout()
     ref0 = (baseline or {}).get("smmnist-dcgan")
