@@ -37,8 +37,10 @@ def main():
     p.add_argument("--bh", type=int, default=1)
     p.add_argument("--bn", type=int, default=128)
     p.add_argument("--inner", type=int, default=10,
-                   help="chained kernel applications inside one jit")
-    p.add_argument("--reps", type=int, default=3)
+                   help="chain depth: inner+1 kernel applications run "
+                        "inside one jit (per-call time = total/(inner+1))")
+    p.add_argument("--reps", type=int, default=3,
+                   help="timed repetitions; best-of is reported (>= 1)")
     p.add_argument("--transform", action="store_true",
                    help="apply the per-channel normalize on load")
     p.add_argument("--act", default="leaky_relu",
@@ -52,6 +54,8 @@ def main():
                    help="skip the Pallas leg (re-measure XLA alone)")
     p.add_argument("--vmem_kib", type=int, default=0)
     a = p.parse_args()
+    if a.reps < 1:
+        p.error("--reps must be >= 1")
 
     key = jax.random.PRNGKey(0)
     c = a.c
@@ -66,38 +70,47 @@ def main():
             double_buffer=not a.no_double_buffer,
             edge_exact=not a.no_edge_exact, packed=not a.no_packed)
 
-    def chain(x):
+    def make_chain(block_fn):
         # stats are summed into a carried accumulator so no iteration's
         # stats computation can be dead-code-eliminated (both legs must pay
         # for conv AND stats every application for a fair comparison)
-        def body(_, carry):
-            y, acc = carry
-            y2, st = block(y)
-            return y2, acc + st
-        _, acc = lax.fori_loop(0, a.inner + 1, body,
-                               (x, jnp.zeros((c, 2), jnp.float32)))
-        return acc
+        def chain(x0):
+            def body(_, carry):
+                y, acc = carry
+                y2, st = block_fn(y)
+                return y2, acc + st
+            _, acc = lax.fori_loop(0, a.inner + 1, body,
+                                   (x0, jnp.zeros((c, 2), jnp.float32)))
+            return acc
+        return chain
+
+    def time_chain(block_fn, x0, label, compile_opts=None):
+        """One harness for both legs: jit the (inner+1)-deep chain, warm up,
+        report best-of-reps per-application time."""
+        fn = jax.jit(make_chain(block_fn))
+        if compile_opts:
+            fn = fn.lower(x0).compile(compile_opts)
+        float(fn(x0).sum())
+        per_call = []
+        for _ in range(a.reps):
+            t0 = time.perf_counter()
+            float(fn(x0).sum())
+            per_call.append((time.perf_counter() - t0) / (a.inner + 1))
+        dt = min(per_call)
+        print(f"{label} {dt*1e3:.3f} ms/block  {flops/dt/1e12:.1f} TFLOP/s "
+              f"({flops/dt/197e12*100:.0f}% MFU)")
 
     flops = 2 * 9 * c * c * a.hw * a.hw * a.n
     if not a.xla_only:
         opts = {"xla_tpu_scoped_vmem_limit_kib": str(a.vmem_kib)} \
             if a.vmem_kib else None
-        f = jax.jit(chain).lower(x).compile(opts) if opts else jax.jit(chain)
-        st = f(x)
-        float(st.sum())
-        per_call = []
-        for _ in range(a.reps):
-            t0 = time.perf_counter()
-            st = f(x)
-            float(st.sum())
-            per_call.append((time.perf_counter() - t0) / (a.inner + 1))
-        dt = min(per_call)
-        print(f"pallas[{'D' if not a.no_double_buffer else '-'}"
-              f"{'E' if not a.no_edge_exact else '-'}"
-              f"{'T' if a.transform else '-'}"
-              f"{'P' if not a.no_packed else '-'} act={a.act} bh={a.bh}] "
-              f"{dt*1e3:.3f} ms/block  {flops/dt/1e12:.1f} TFLOP/s "
-              f"({flops/dt/197e12*100:.0f}% MFU)")
+        time_chain(
+            block, x,
+            f"pallas[{'D' if not a.no_double_buffer else '-'}"
+            f"{'E' if not a.no_edge_exact else '-'}"
+            f"{'T' if a.transform else '-'}"
+            f"{'P' if not a.no_packed else '-'} act={a.act} bh={a.bh}]",
+            compile_opts=opts)
 
     if not (a.xla or a.xla_only):
         return
@@ -117,28 +130,8 @@ def main():
         st = jnp.stack([yf.sum((0, 1, 2)), (yf * yf).sum((0, 1, 2))], 1)
         return y, st
 
-    def xla_chain(xn):
-        def body(_, carry):
-            y, acc = carry
-            y2, st = xla_block(y)
-            return y2, acc + st
-        _, acc = lax.fori_loop(0, a.inner + 1, body,
-                               (xn, jnp.zeros((c, 2), jnp.float32)))
-        return acc
-
-    g = jax.jit(xla_chain)
     xn = jnp.transpose(x, (3, 1, 2, 0))
-    s2 = g(xn)
-    float(s2.sum())
-    per_call = []
-    for _ in range(a.reps):
-        t0 = time.perf_counter()
-        s2 = g(xn)
-        float(s2.sum())
-        per_call.append((time.perf_counter() - t0) / (a.inner + 1))
-    dt2 = min(per_call)
-    print(f"xla   [T={a.transform} act={a.act}] {dt2*1e3:.3f} ms/block  "
-          f"{flops/dt2/1e12:.1f} TFLOP/s ({flops/dt2/197e12*100:.0f}% MFU)")
+    time_chain(xla_block, xn, f"xla   [T={a.transform} act={a.act}]")
 
 
 if __name__ == "__main__":

@@ -122,8 +122,15 @@ def pad_to_multiple(batch, n, batch_axis=1):
         return np.concatenate(
             [v, np.repeat(v[tuple(idx)], r, axis=ax)], axis=ax), b
     if isinstance(batch, dict):
+        if not batch:
+            raise ValueError("pad_to_multiple: empty parts dict")
+        sizes = {k: v.shape[0] for k, v in batch.items()}
+        if len(set(sizes.values())) != 1:
+            raise ValueError(
+                f"pad_to_multiple: parts dict leaves disagree on batch "
+                f"size: {sizes}")
         out, n_valid = {}, None
-        for k, v in batch.items():
+        for k, v in batch.items():  # parts dicts: batch is axis 0 by contract
             out[k], n_valid = pad_arr(v, 0)
         return out, n_valid
     return pad_arr(batch, batch_axis)

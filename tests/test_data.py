@@ -141,6 +141,5 @@ def test_loader_propagates_producer_exception():
             raise IOError("corrupt frame")
 
     loader = DataLoader(Bad(), batch_size=4, seed=0, num_workers=2)
-    import pytest as _pytest
-    with _pytest.raises(IOError, match="corrupt frame"):
+    with pytest.raises(IOError, match="corrupt frame"):
         next(iter(loader))
