@@ -49,8 +49,12 @@ struct MT19937 {
     return y;
   }
 
-  // numpy RandomState.randint(lo, hi): uniform over [lo, hi), masked rejection
+  // numpy RandomState.randint(lo, hi): uniform over [lo, hi), masked rejection.
+  // hi <= lo is a caller bug (numpy raises ValueError); clamping to lo keeps
+  // the rejection mask from wrapping to 2^32-1 and emitting unbounded values
+  // (the Python wrapper validates dimensions before dispatching here).
   long randint(long lo, long hi) {
+    if (hi <= lo + 1) return lo;
     uint32_t rng = (uint32_t)(hi - lo - 1);  // inclusive max
     if (rng == 0) return lo;
     uint32_t mask = rng;

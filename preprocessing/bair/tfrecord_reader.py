@@ -67,6 +67,13 @@ def _parse_float_list(buf, span):
 
 
 def _parse_int64_list(buf, span):
+    def signed(v):
+        # int64 protobuf varints are two's-complement in 64 bits; fold the
+        # raw magnitude back into the signed range so e.g. -1 does not
+        # surface as 2^64 - 1
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
     out = []
     for f, w, val in _iter_fields(buf, *span):
         if f != 1:
@@ -76,9 +83,9 @@ def _parse_int64_list(buf, span):
             pos = s
             while pos < e:
                 v, pos = _read_varint(buf, pos)
-                out.append(v)
+                out.append(signed(v))
         else:
-            out.append(val)
+            out.append(signed(val))
     return out
 
 

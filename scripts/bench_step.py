@@ -41,6 +41,10 @@ def main():
     p.add_argument("--profile", default=None, metavar="DIR")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--xla_opt", action="append", default=[],
+                   metavar="KEY=VAL",
+                   help="per-compile XLA option(s) for the step, e.g. "
+                        "--xla_opt xla_tpu_scoped_vmem_limit_kib=65536")
     a = p.parse_args()
 
     import jax
@@ -60,6 +64,10 @@ def main():
     step = train_lib.make_train_step(cfg, hp)
     x = jnp.asarray(np.random.RandomState(0).rand(
         seq_len, batch, 64, 64, kwargs["nc"]).astype(np.float32))
+    if a.xla_opt:
+        opts = dict(kv.split("=", 1) for kv in a.xla_opt)
+        step = step.lower(ts, x).compile(opts)
+        print(f"compiled with {opts}")
 
     for _ in range(3):
         ts, metrics = step(ts, x)

@@ -69,8 +69,7 @@ def compute_embeddings(embed_fn, videos):
     chunk-of-16 + pad-with-head behavior."""
     n = videos.shape[0]
     assert n >= CHUNK, f"FVD needs at least {CHUNK} videos, got {n}"
-    if videos.shape[-1] == 1:
-        videos = np.repeat(videos, 3, axis=-1)
+    gray = videos.shape[-1] == 1
     out = []
     for k in range(int(math.ceil(n / CHUNK))):
         start, stop = k * CHUNK, min(n, (k + 1) * CHUNK)
@@ -78,6 +77,9 @@ def compute_embeddings(embed_fn, videos):
         n_k = stop - start
         if n_k < CHUNK:
             chunk = np.concatenate([chunk, videos[: CHUNK - n_k]], axis=0)
+        if gray:
+            # per-chunk so the full video set is never tripled on the host
+            chunk = np.repeat(chunk, 3, axis=-1)
         emb = np.asarray(embed_fn(jnp.asarray(chunk)))
         out.append(emb[:n_k])
     return np.concatenate(out, axis=0)

@@ -144,7 +144,6 @@ def i3d_random_params(key, dtype=jnp.float32):
     for name in _MIXED:
         params[name] = {k: unit(next(keys), shape)
                         for k, shape in _branch_shapes(name)}
-    c5 = _mixed_in_channels()["Mixed_5c"]
     c_out = _MIXED["Mixed_5c"]
     c_final = c_out[0] + c_out[2] + c_out[4] + c_out[5]
     params["Logits"] = {

@@ -108,6 +108,25 @@ class _DigitPack:
 _pack_cache = {}
 
 
+def _get_pack(digits, frame_size):
+    """Single-entry digit-pack cache. The value keeps a STRONG reference to
+    the digits object and the hit path compares identity, so a recycled
+    id() after garbage collection can never serve another dataset's digit
+    images; guarded by the module lock for loader worker threads. Raises
+    ValueError (numpy randint parity) when a digit exceeds the frame."""
+    with _lock:
+        entry = _pack_cache.get("pack")
+        if entry is None or entry[0] is not digits:
+            entry = (digits, _DigitPack(digits))
+            _pack_cache["pack"] = entry
+    pack = entry[1]
+    if (pack.hw > frame_size).any():
+        raise ValueError(
+            f"digit images up to {pack.hw.max()}px do not fit the "
+            f"{frame_size}px frame (numpy randint would raise low >= high)")
+    return pack
+
+
 def mmnist_generate_batch(digits, frame_size, seq_len, max_speed,
                           deterministic, num_digits, seeds, n_threads=4):
     """Generates a batch of Moving MNIST videos natively.
@@ -119,12 +138,7 @@ def mmnist_generate_batch(digits, frame_size, seq_len, max_speed,
     lib = get_native_lib()
     if lib is None:
         return None
-    key = id(digits)
-    pack = _pack_cache.get(key)
-    if pack is None:
-        pack = _DigitPack(digits)
-        _pack_cache.clear()
-        _pack_cache[key] = pack
+    pack = _get_pack(digits, frame_size)
     seeds = np.ascontiguousarray(seeds, np.uint32)
     batch = len(seeds)
     out = np.empty((batch, seq_len, frame_size, frame_size), np.uint8)
@@ -144,12 +158,7 @@ def mmnist_parts_batch(digits, frame_size, seq_len, max_speed, deterministic,
     lib = get_native_lib()
     if lib is None:
         return None
-    key = id(digits)
-    pack = _pack_cache.get(key)
-    if pack is None:
-        pack = _DigitPack(digits)
-        _pack_cache.clear()
-        _pack_cache[key] = pack
+    pack = _get_pack(digits, frame_size)
     if not (pack.hw == pack.hw[0]).all():
         return None
     dh, dw = int(pack.hw[0][0]), int(pack.hw[0][1])
@@ -199,7 +208,11 @@ def decode_png_timemajor(paths, n_videos, seq_len, h, w, channels,
             or getattr(lib, "srvp_png_decode_batch_offsets", None) is None:
         return None
     n = len(paths)
-    assert n == n_videos * seq_len
+    if n != n_videos * seq_len:
+        # must stay an unconditional error: the C decoder fills exactly n
+        # frame slots of an uninitialized output tensor
+        raise ValueError(
+            f"{n} paths != n_videos*seq_len = {n_videos * seq_len}")
     frame_bytes = h * w * channels
     out = np.empty((seq_len, n_videos, h, w, channels), np.uint8)
     # path i = (b, t); destination block (t, b)

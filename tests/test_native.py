@@ -69,3 +69,27 @@ def test_speedup_report(lib):
     print(f"\nnative MMNIST speedup (1 thread): {speedup:.1f}x "
           f"({t_python*1000:.0f}ms -> {t_native*1000:.0f}ms per 64-batch)")
     assert speedup > 2  # conservative; typically 10-50x
+
+
+def test_oversized_digit_raises_not_corrupts(lib):
+    """A digit larger than the frame must raise (numpy randint parity), not
+    dispatch to C++ where a wrapped rejection mask would write out of
+    bounds."""
+    rng = np.random.RandomState(0)
+    big = [rng.randint(0, 255, (80, 80), dtype=np.uint8)]
+    with pytest.raises(ValueError, match="do not fit"):
+        mmnist_generate_batch(big, 64, 4, 4, False, 1,
+                              np.arange(2, dtype=np.uint32))
+
+
+def test_pack_cache_is_identity_checked(lib):
+    """Two different digit lists must never share a cached pack (the old
+    id()-keyed cache could serve stale digits after GC address reuse)."""
+    d1 = synthetic_digits(3, np.random.RandomState(1))
+    d2 = synthetic_digits(3, np.random.RandomState(2))
+    seeds = np.arange(2, dtype=np.uint32)
+    a1 = mmnist_generate_batch(d1, 64, 4, 4, False, 2, seeds)
+    b = mmnist_generate_batch(d2, 64, 4, 4, False, 2, seeds)
+    a2 = mmnist_generate_batch(d1, 64, 4, 4, False, 2, seeds)
+    assert not np.array_equal(a1, b)       # different digits -> different videos
+    np.testing.assert_array_equal(a1, a2)  # same digits -> stable

@@ -7,6 +7,7 @@ import numpy as np
 
 
 def _varint(n):
+    n &= (1 << 64) - 1  # two's-complement encoding for negative int64
     out = b""
     while True:
         b7 = n & 0x7F
@@ -56,7 +57,7 @@ class TestTFRecordReader:
         ex1 = _encode_example({
             "0/image_aux1/encoded": [b"\x01\x02\x03" * 4096],
             "scores": [1.5, -2.0],
-            "ids": [7, 300],
+            "ids": [7, 300, -1],
         })
         ex2 = _encode_example({"0/image_aux1/encoded": [b"xyz"]})
         path = tmp_path / "rec.tfrecord"
@@ -67,7 +68,7 @@ class TestTFRecordReader:
         parsed = parse_example(records[0])
         assert parsed["0/image_aux1/encoded"][0] == b"\x01\x02\x03" * 4096
         assert parsed["scores"] == [1.5, -2.0]
-        assert parsed["ids"] == [7, 300]
+        assert parsed["ids"] == [7, 300, -1]  # negative int64 sign-decodes
         assert parse_example(records[1])["0/image_aux1/encoded"][0] == b"xyz"
 
 
