@@ -1,0 +1,83 @@
+"""CLI coverage for the auxiliary scripts and train.py runtime branches.
+
+  * scripts/convert_checkpoint.py — the documented offline path for
+    reproducing paper numbers from released .pt checkpoints
+    (load_torch_checkpoint itself is golden-tested; this drives the script's
+    arg plumbing + .npz write and proves the output loads as a native
+    snapshot).
+  * train.py --profile_dir — the jax.profiler trace hook
+    (srvp_tpu/train_main.py:147-153), SURVEY.md §5 tracing subsystem.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import torch
+
+import jax
+
+from srvp_tpu.helper import DotDict, save_json
+from srvp_tpu.models import srvp
+from srvp_tpu.utils import checkpoint as ckpt
+from tests.torch_ref import TorchSRVP
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+TINY = srvp.SRVPConfig(nx=64, nc=1, nf=4, nhx=8, ny=4, nz=4, skipco=False,
+                       nt_inf=2, nh_inf=8, nlayers_inf=2, nh_res=16,
+                       nlayers_res=2, archi="dcgan")
+
+
+def test_convert_checkpoint_script_roundtrip(tmp_path):
+    import convert_checkpoint
+
+    torch.manual_seed(0)
+    tmodel = TorchSRVP(TINY).eval()
+    pt_path = tmp_path / "model.pt"
+    torch.save(tmodel.state_dict(), pt_path)
+    config = dict(nx=64, nc=1, nf=4, nhx=8, ny=4, nz=4, skipco=False,
+                  nt_inf=2, nh_inf=8, nlayers_inf=2, nh_res=16,
+                  nlayers_res=2, archi="dcgan")
+    save_json(config, tmp_path / "config.json")
+
+    out = tmp_path / "model.npz"
+    convert_checkpoint.main(argparse.Namespace(
+        pt=str(pt_path), config=str(tmp_path / "config.json"), out=str(out)))
+
+    # the produced snapshot must load through the NATIVE checkpoint loader
+    tmpl_p, tmpl_s = srvp.init(jax.random.PRNGKey(0), TINY)
+    params, bn_state = ckpt.load_model(str(out), tmpl_p, tmpl_s)
+    assert jax.tree.structure(params) == jax.tree.structure(tmpl_p)
+    # spot-check an actual weight against the torch source (HWIO transpose)
+    w_torch = tmodel.state_dict()["q_y.module.0.0.weight"].numpy()
+    np.testing.assert_allclose(np.asarray(params["q_y"][0]["kernel"]),
+                               w_torch.T, rtol=0, atol=0)
+
+
+def test_train_profile_dir_writes_trace(tmp_path):
+    from srvp_tpu.train_main import main as train_main
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    profile_dir = tmp_path / "trace"
+    argv_opt = DotDict(
+        save_path=str(tmp_path / "xp"), dataset="smmnist",
+        data_dir=str(data_dir), allow_synthetic=True, seed=3,
+        nx=64, nc=1, nf=4, nhx=8, ny=4, nz=4, skipco=False, archi="dcgan",
+        nt_cond=3, nt_inf=2, nh_inf=8, nlayers_inf=2, nh_res=16,
+        nlayers_res=2, seq_len=6, seq_len_test=None, batch_size=8,
+        batch_size_test=4, n_iter=16, val_interval=16, n_iter_test=1,
+        n_samples_test=2, val_samples_chunk=2, log_interval=8, n_workers=1,
+        n_euler_steps=1, obs_scale=1.0, beta_y=1.0, beta_z=1.0, l2_res=1.0,
+        lr=3e-4, lr_scheduling_burnin=10, lr_scheduling_n_iter=10,
+        res_gain=1.41, chkpt_interval=None, ndigits=2, max_speed=4,
+        deterministic=False, profile_dir=str(profile_dir))
+    assert train_main(argv_opt) == 0
+
+    # the trace hook runs iterations 10-15 and must leave an xplane artifact
+    traces = [os.path.join(root, f)
+              for root, _, files in os.walk(profile_dir) for f in files]
+    assert any(f.endswith(".xplane.pb") for f in traces), traces
