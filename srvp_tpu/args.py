@@ -37,7 +37,9 @@ def create_args():
     amp_mex.add("--apex_amp", action="store_true",
                 help="Legacy alias: enables bfloat16 compute.")
     amp_p.add("--amp_opt_lvl", type=str, metavar="OPT_LVL", default="O1",
-              help="Accepted for compatibility; ignored on TPU.")
+              choices=["O0", "O1", "O2", "O3"],
+              help="Accepted for compatibility; ignored on TPU. Same choice "
+                   "validation as the reference (args.py:20,60).")
     amp_p.add("--keep_batchnorm_fp32", action="store_true", default=None,
               help="Accepted for compatibility; BN statistics are always fp32.")
     amp_p.add("--apex_verbose", action="store_true",
