@@ -95,6 +95,45 @@ def test_reference_flag_present_with_same_contract(flag, ftype, default,
                 f"--{flag} default {a.default} != reference {default}")
 
 
+# (flag, type, default) from /root/reference/test.py:331-355. Deliberate
+# deviations, documented in test.py's own help text: --lpips_dir is optional
+# here (LPIPS skipped when absent — the reference hard-requires its vendored
+# weights dir), and --model_name defaults to the native model.npz (a .pt
+# value converts on the fly, same flag).
+REFERENCE_TEST_FLAGS = [
+    ("xp_dir", str, None, True),
+    ("data_dir", str, None, True),
+    ("lpips_dir", str, None, False),
+    ("n_euler_steps", int, None, False),
+    ("nt_cond", int, None, False),
+    ("nt_gen", int, None, False),
+    ("batch_size", int, 16, False),
+    ("n_samples", int, 100, False),
+    ("model_name", str, "model.npz", False),
+    ("device", int, None, False),
+    ("fvd", bool, False, False),
+    ("test_seed", int, 1, False),
+]
+
+
+@pytest.mark.parametrize("flag,ftype,default,required", REFERENCE_TEST_FLAGS,
+                         ids=[f[0] for f in REFERENCE_TEST_FLAGS])
+def test_reference_test_cli_flag_present(flag, ftype, default, required):
+    import test as test_cli
+    actions = {a.dest: a for a in test_cli.create_test_args()._actions
+               if a.dest != "help"}
+    assert flag in actions, f"reference test.py flag --{flag} missing"
+    a = actions[flag]
+    if ftype is bool:
+        assert a.const is True or a.nargs == 0
+        assert a.default == default
+    else:
+        assert a.type is ftype
+        assert a.required == required
+        if not required:
+            assert a.default == default
+
+
 def test_reference_choice_sets():
     """ARCH_TYPES / DATASETS / AMP_OPT_LEVELS choice lists
     (/root/reference/args.py:22-26)."""
