@@ -81,3 +81,15 @@ def test_train_profile_dir_writes_trace(tmp_path):
     traces = [os.path.join(root, f)
               for root, _, files in os.walk(profile_dir) for f in files]
     assert any(f.endswith(".xplane.pb") for f in traces), traces
+
+    # scripts/xplane_summary.py must parse the real trace (its standalone
+    # protobuf wire parser, no tensorflow) and report at least one plane
+    import xplane_summary
+    main_out = []
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        xplane_summary.main(str(profile_dir))
+    main_out = buf.getvalue()
+    assert "=== plane:" in main_out, main_out[:500]
