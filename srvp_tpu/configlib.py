@@ -60,10 +60,25 @@ class ArgumentParser(argparse.ArgumentParser):
                 import json
                 with open(path) as f:
                     values = json.load(f)
-            known = {a.dest for a in self._actions}
-            unknown = set(values) - known
+            by_dest = {a.dest: a for a in self._actions}
+            unknown = set(values) - set(by_dest)
             if unknown:
                 self.error(f"unknown keys in config file: {sorted(unknown)}")
+            # Apply each action's type converter, as configargparse does for
+            # file-sourced values — `lr: "3e-4"` must become a float and
+            # `beta_z: 2` the float the CLI path would produce. Booleans are
+            # left alone (store_true actions have no converter).
+            for key in list(values):
+                action, val = by_dest[key], values[key]
+                if action.type is None or val is None or isinstance(val, bool):
+                    continue
+                try:
+                    if isinstance(val, list):
+                        values[key] = [action.type(v) for v in val]
+                    else:
+                        values[key] = action.type(val)
+                except (TypeError, ValueError) as e:
+                    self.error(f"config file key {key!r}: {e}")
             self.set_defaults(**values)
             # Required flags satisfied by the config file are no longer required.
             for a in self._actions:

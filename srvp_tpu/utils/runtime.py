@@ -10,8 +10,24 @@ import os
 import time
 
 
+def honor_jax_platforms_env():
+    """Re-asserts an explicit JAX_PLATFORMS env var over platform plugins.
+
+    Some platform plugins (e.g. the tunneled axon TPU plugin) register
+    themselves over the env var, so `JAX_PLATFORMS=cpu python train.py`
+    would silently grab the TPU anyway. An explicit user choice must win;
+    tests/conftest.py applies the same recipe."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+        jax.config.update("jax_platforms", want)
+
+
 def setup_compilation_cache(cache_dir=None):
-    """Enables JAX's persistent compilation cache (idempotent)."""
+    """Enables JAX's persistent compilation cache (idempotent); also makes
+    an explicit JAX_PLATFORMS env choice stick (every CLI entry point calls
+    this first)."""
+    honor_jax_platforms_env()
     import jax
     cache_dir = cache_dir or os.environ.get(
         "SRVP_TPU_JAX_CACHE",
