@@ -139,6 +139,12 @@ def main(opt):
     prev_handler = signal.signal(
         signal.SIGTERM, lambda *_: stop_requested.append(True))
 
+    # Async checkpoint writer: periodic/best saves snapshot the state with
+    # on-device copies and write from a background thread, so the step loop
+    # never blocks on device_get + compression (measured ~45 s per
+    # checkpoint+val boundary on the tunneled v5e before this).
+    writer = ckpt.AsyncCheckpointer()
+
     try:
         for batch in device_batches():
             if itr >= opt.n_iter or stop_requested:
@@ -174,13 +180,16 @@ def main(opt):
                 mlog.log(itr, val_metric=val_metric)
                 if best_val_metric is None or best_val_metric > val_metric:
                     best_val_metric = val_metric
-                    ckpt.save_model(opt.save_path, "model_best", ts.params,
-                                    ts.bn_state)
+                    snap = writer.snapshot((ts.params, ts.bn_state))
+                    writer.submit(lambda s=snap: ckpt.save_model(
+                        opt.save_path, "model_best", s[0], s[1]))
 
             if opt.chkpt_interval is not None and itr % opt.chkpt_interval == 0:
-                ckpt.save_model(opt.save_path, f"model_{itr}", ts.params,
-                                ts.bn_state)
-                ckpt.save_train_state(opt.save_path, jax.device_get(ts))
+                snap = writer.snapshot(ts)
+                writer.submit(lambda s=snap, i=itr: (
+                    ckpt.save_model(opt.save_path, f"model_{i}", s.params,
+                                    s.bn_state),
+                    ckpt.save_train_state(opt.save_path, s)))
     except KeyboardInterrupt:
         status_code = 130
     finally:
@@ -191,6 +200,7 @@ def main(opt):
 
     # ----- final save (reference train.py:377-383) -----
     print("Saving...")
+    writer.wait()  # in-flight periodic save must not land after the final one
     ckpt.save_model(opt.save_path, "model", ts.params, ts.bn_state)
     ckpt.save_train_state(opt.save_path, jax.device_get(ts))
     mlog.close()

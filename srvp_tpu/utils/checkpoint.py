@@ -11,11 +11,59 @@ The reference saves params-only .pt files and has NO resume path
 
 import json
 import os
+import threading
 
 from srvp_tpu.utils.serialization import load_npz, save_npz
 
 TRAIN_STATE_FILE = "train_state.npz"
 TRAIN_META_FILE = "train_state.json"
+
+
+class AsyncCheckpointer:
+    """Background checkpoint writer (one pending save at a time).
+
+    TPU-native async checkpointing: the train loop snapshots the (donated)
+    train state with on-device copies (`snapshot`, ~0 ms on the host), then
+    `submit`s a closure that device_gets the un-donated copies and writes
+    them from a daemon thread while training keeps stepping. Submitting
+    while a save is in flight waits for it first (bounds host memory to one
+    snapshot); `wait()` must be called before the final synchronous save.
+    A failed background save re-raises on the next submit/wait so write
+    errors (disk full, ...) cannot pass silently.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._error = None
+
+    @staticmethod
+    def snapshot(tree):
+        """On-device copy of a pytree: never donated to any step, so a
+        background device_get cannot race buffer donation."""
+        import jax
+        import jax.numpy as jnp
+        return jax.tree_util.tree_map(jnp.copy, tree)
+
+    def submit(self, fn):
+        self.wait()
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # surfaced on next wait()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=run, name="srvp-ckpt-writer", daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("background checkpoint save failed") from err
 
 
 def save_model(save_path, name, params, bn_state):

@@ -5,6 +5,8 @@ dependency-light format (no pickle, no torch). Loading requires a template
 pytree with the same structure (the usual JAX restore pattern).
 """
 
+import zipfile
+
 import numpy as np
 
 import jax
@@ -16,8 +18,20 @@ def tree_to_dict(tree):
     return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
 
 
-def save_npz(path, tree):
-    np.savez_compressed(path, **tree_to_dict(tree))
+def save_npz(path, tree, compresslevel=1):
+    """Writes the standard npz layout (np.load-compatible) with a
+    configurable deflate level. np.savez_compressed pins zlib level 6,
+    which costs ~20 s on a full KTH train state; float tensors barely
+    compress past level 1, so level 1 is the default (~4x faster, a few %
+    larger). `compresslevel=0` stores uncompressed."""
+    method = zipfile.ZIP_DEFLATED if compresslevel else zipfile.ZIP_STORED
+    kwargs = {"compresslevel": compresslevel} if compresslevel else {}
+    with zipfile.ZipFile(path, "w", method, allowZip64=True, **kwargs) as zf:
+        for key, arr in tree_to_dict(tree).items():
+            with zf.open(key + ".npy", "w", force_zip64=True) as f:
+                # NOT ascontiguousarray: it promotes 0-d scalars (step) to 1-d
+                np.lib.format.write_array(f, np.asarray(arr, order="C"),
+                                          allow_pickle=False)
 
 
 def load_npz(path, template):
