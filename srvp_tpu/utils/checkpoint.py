@@ -67,8 +67,13 @@ class AsyncCheckpointer:
 
 
 def save_model(save_path, name, params, bn_state):
-    save_npz(os.path.join(save_path, f"{name}.npz"),
-             {"params": params, "bn_state": bn_state})
+    # Atomic (tmp + rename): these run on a background writer thread, so a
+    # crash mid-write must not leave a truncated model_best.npz behind for a
+    # later --resume to silently load.
+    target = os.path.join(save_path, f"{name}.npz")
+    tmp = target + ".tmp.npz"
+    save_npz(tmp, {"params": params, "bn_state": bn_state})
+    os.replace(tmp, target)
 
 
 def load_model(path, params_template, bn_state_template):
@@ -83,8 +88,11 @@ def save_train_state(save_path, ts, extra=None):
     meta = {"step": int(ts.step)}
     if extra:
         meta.update(extra)
-    with open(os.path.join(save_path, TRAIN_META_FILE), "w") as f:
+    meta_target = os.path.join(save_path, TRAIN_META_FILE)
+    meta_tmp = meta_target + ".tmp"
+    with open(meta_tmp, "w") as f:
         json.dump(meta, f)
+    os.replace(meta_tmp, meta_target)
 
 
 def load_train_state(save_path, ts_template):

@@ -82,6 +82,34 @@ def test_snapshot_is_a_distinct_device_copy():
     np.testing.assert_array_equal(np.asarray(snap["p"]), np.asarray(x["p"]))
 
 
+def test_save_model_is_atomic_under_write_failure(tmp_path, monkeypatch):
+    """A crash mid-write (background writer thread) must never leave a
+    truncated model_best.npz for a later --resume to load: saves go to a
+    tmp file and are renamed into place only on success."""
+    params = {"w": jnp.ones((3,))}
+    bn = {"m": jnp.zeros((3,))}
+    ckpt.save_model(str(tmp_path), "model_best", params, bn)
+    good = (tmp_path / "model_best.npz").read_bytes()
+
+    def exploding_save_npz(path, tree, **kw):
+        with open(path, "wb") as f:
+            f.write(b"partial")
+        raise IOError("disk full")
+
+    monkeypatch.setattr(ckpt, "save_npz", exploding_save_npz)
+    with pytest.raises(IOError):
+        ckpt.save_model(str(tmp_path), "model_best",
+                        {"w": jnp.zeros((3,))}, bn)
+    # target untouched, only the tmp file holds the partial write
+    assert (tmp_path / "model_best.npz").read_bytes() == good
+    with pytest.raises(IOError):
+        ckpt.save_train_state(
+            str(tmp_path),
+            __import__("collections").namedtuple("TS", "step")(
+                step=jnp.zeros((), jnp.int32)))
+    assert not (tmp_path / ckpt.TRAIN_STATE_FILE).exists()
+
+
 def test_training_with_async_periodic_saves_matches_uninterrupted(tmp_path):
     """chkpt_interval saves run through the async writer; the final model
     and the periodic train_state must be exactly what the synchronous path
