@@ -64,21 +64,41 @@ class ArgumentParser(argparse.ArgumentParser):
             unknown = set(values) - set(by_dest)
             if unknown:
                 self.error(f"unknown keys in config file: {sorted(unknown)}")
-            # Apply each action's type converter, as configargparse does for
-            # file-sourced values — `lr: "3e-4"` must become a float and
-            # `beta_z: 2` the float the CLI path would produce. Booleans are
-            # left alone (store_true actions have no converter).
+            # Apply each action's type converter and choices validation, as
+            # configargparse does for file-sourced values — `lr: "3e-4"` must
+            # become a float, `beta_z: 2` the float the CLI path would
+            # produce, and `archi: vggg` must fail here, not deep in model
+            # construction. YAML booleans are only legal for flag actions
+            # (store_true/store_false): `lr: true` would otherwise coerce to
+            # 1.0 silently.
+            flag_actions = (argparse._StoreTrueAction, argparse._StoreFalseAction,
+                            argparse.BooleanOptionalAction)
             for key in list(values):
                 action, val = by_dest[key], values[key]
-                if action.type is None or val is None or isinstance(val, bool):
+                if val is None:
                     continue
-                try:
-                    if isinstance(val, list):
-                        values[key] = [action.type(v) for v in val]
-                    else:
-                        values[key] = action.type(val)
-                except (TypeError, ValueError) as e:
-                    self.error(f"config file key {key!r}: {e}")
+                if isinstance(val, bool):
+                    if not isinstance(action, flag_actions):
+                        self.error(
+                            f"config file key {key!r}: boolean {val} is not a "
+                            f"valid value for a {action.type or str} flag")
+                    continue
+                if action.type is not None:
+                    try:
+                        if isinstance(val, list):
+                            val = [action.type(v) for v in val]
+                        else:
+                            val = action.type(val)
+                    except (TypeError, ValueError) as e:
+                        self.error(f"config file key {key!r}: {e}")
+                    values[key] = val
+                if action.choices is not None:
+                    for v in val if isinstance(val, list) else [val]:
+                        if v not in action.choices:
+                            self.error(
+                                f"config file key {key!r}: invalid choice "
+                                f"{v!r} (choose from "
+                                f"{', '.join(map(repr, action.choices))})")
             self.set_defaults(**values)
             # Required flags satisfied by the config file are no longer required.
             for a in self._actions:

@@ -6,6 +6,7 @@ with jit-compiled SPMD steps; data-parallel gradient reduction and SyncBN
 come from GSPMD sharding, not NCCL wrappers.
 """
 
+import glob
 import os
 import random
 import signal
@@ -97,14 +98,22 @@ def main(opt):
     ts = train_lib.init_train_state(jax.random.PRNGKey(opt.seed), cfg, hp,
                                     res_gain=opt.res_gain)
     ts = jax.device_put(ts, replicated(mesh))
+    resumed_step = None
     if opt.get("resume") and ckpt.has_train_state(opt.save_path):
         ts, meta = ckpt.load_train_state(opt.save_path, ts)
         ts = jax.device_put(ts, replicated(mesh))
-        print(f"Resumed from step {int(ts.step)}")
+        resumed_step = int(ts.step)
+        print(f"Resumed from step {resumed_step}")
 
     os.makedirs(opt.save_path, exist_ok=True)
+    # A crash mid-save can strand partial .tmp files (writes are tmp+rename);
+    # clear them so the xp dir only ever holds complete artifacts.
+    for stale in glob.glob(os.path.join(opt.save_path, "*.tmp.npz")) + \
+            glob.glob(os.path.join(opt.save_path, "*.json.tmp")):
+        os.remove(stale)
     save_json({k: v for k, v in opt.items()}, os.path.join(opt.save_path, "config.json"))
-    mlog = MetricsLogger(os.path.join(opt.save_path, "metrics.jsonl"))
+    mlog = MetricsLogger(os.path.join(opt.save_path, "metrics.jsonl"),
+                         truncate_after=resumed_step)
 
     train_step = train_lib.make_train_step(cfg, hp)
     eval_batch = train_lib.make_eval_batch(cfg, hp, nt=seq_len_val)
@@ -181,15 +190,23 @@ def main(opt):
                 if best_val_metric is None or best_val_metric > val_metric:
                     best_val_metric = val_metric
                     snap = writer.snapshot((ts.params, ts.bn_state))
-                    writer.submit(lambda s=snap: ckpt.save_model(
-                        opt.save_path, "model_best", s[0], s[1]))
+
+                    def save_best(s=snap):
+                        # One batched transfer, then the device copy is free
+                        # for the rest of the (compressing) write.
+                        s = jax.device_get(s)
+                        ckpt.save_model(opt.save_path, "model_best", s[0], s[1])
+                    writer.submit(save_best)
 
             if opt.chkpt_interval is not None and itr % opt.chkpt_interval == 0:
                 snap = writer.snapshot(ts)
-                writer.submit(lambda s=snap, i=itr: (
+
+                def save_periodic(s=snap, i=itr):
+                    s = jax.device_get(s)
                     ckpt.save_model(opt.save_path, f"model_{i}", s.params,
-                                    s.bn_state),
-                    ckpt.save_train_state(opt.save_path, s)))
+                                    s.bn_state)
+                    ckpt.save_train_state(opt.save_path, s)
+                writer.submit(save_periodic)
     except KeyboardInterrupt:
         status_code = 130
     finally:

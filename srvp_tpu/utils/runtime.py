@@ -42,10 +42,35 @@ def setup_compilation_cache(cache_dir=None):
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics stream (step-structured observability)."""
+    """Append-only JSONL metrics stream (step-structured observability).
 
-    def __init__(self, path):
+    `truncate_after` drops rows past a resumed checkpoint step: an ungraceful
+    death between checkpoints leaves rows with no matching state, and --resume
+    would otherwise append a contradictory second copy of those steps.
+    """
+
+    def __init__(self, path, truncate_after=None):
         self.path = path
+        if truncate_after is not None and os.path.exists(path):
+            kept, dropped = [], 0
+            with open(path) as f:
+                for line in f:
+                    try:
+                        step = json.loads(line)["step"]
+                    except (ValueError, KeyError):
+                        dropped += 1  # half-written trailing line
+                        continue
+                    if step <= truncate_after:
+                        kept.append(line)
+                    else:
+                        dropped += 1
+            if dropped:
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    f.writelines(kept)
+                os.replace(tmp, path)
+                print(f"metrics.jsonl: dropped {dropped} row(s) past resumed "
+                      f"step {truncate_after}")
         self._f = open(path, "a", buffering=1)
         self._t0 = time.time()
 

@@ -82,6 +82,24 @@ def test_snapshot_is_a_distinct_device_copy():
     np.testing.assert_array_equal(np.asarray(snap["p"]), np.asarray(x["p"]))
 
 
+def test_metrics_logger_truncates_rows_past_resumed_step(tmp_path):
+    """An ungraceful death between checkpoints leaves metrics rows with no
+    matching state; resume must drop them instead of appending a
+    contradictory second copy."""
+    import json as json_mod
+    from srvp_tpu.utils.runtime import MetricsLogger
+    path = tmp_path / "metrics.jsonl"
+    rows = [{"step": s, "loss": float(s)} for s in (100, 200, 300, 400)]
+    path.write_text("".join(json_mod.dumps(r) + "\n" for r in rows)
+                    + '{"step": 500, "lo')  # half-written trailing line
+    m = MetricsLogger(str(path), truncate_after=200)
+    m.log(300, loss=-1.0)
+    m.close()
+    kept = [json_mod.loads(line) for line in path.read_text().splitlines()]
+    assert [r["step"] for r in kept] == [100, 200, 300]
+    assert kept[-1]["loss"] == -1.0  # the re-run row, not the orphan
+
+
 def test_save_model_is_atomic_under_write_failure(tmp_path, monkeypatch):
     """A crash mid-write (background writer thread) must never leave a
     truncated model_best.npz for a later --resume to load: saves go to a

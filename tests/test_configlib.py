@@ -55,3 +55,37 @@ def test_config_file_unknown_key_rejected(tmp_path):
     p = args_mod.create_args()
     with pytest.raises(SystemExit):
         p.parse_args(["--config", str(path)])
+
+
+BASE = dict(save_path="/tmp/x", dataset="smmnist", data_dir="/tmp/d",
+            ny=20, nz=20, nt_cond=5, nt_inf=5, nc=1, seq_len=15)
+
+
+@pytest.mark.parametrize("bad", [
+    {"dataset": "mnist"},       # not in DATASETS
+    {"archi": "vggg"},          # not in ARCH_TYPES
+    {"amp_opt_lvl": "O9"},      # not in O0..O3
+])
+def test_config_file_values_validated_against_choices(tmp_path, bad):
+    """File-sourced values get the same choices validation as CLI values
+    (configargparse semantics); a typo'd dataset must die in the parser,
+    not as a KeyError deep in load_dataset."""
+    path = tmp_path / "bad.json"
+    path.write_text(json.dumps({**BASE, **bad}))
+    with pytest.raises(SystemExit):
+        args_mod.create_args().parse_args(["--config", str(path)])
+
+
+def test_config_file_bool_rejected_for_typed_flags(tmp_path):
+    """YAML/JSON `lr: true` must not silently become lr == 1.0."""
+    path = tmp_path / "bad.json"
+    path.write_text(json.dumps({**BASE, "lr": True}))
+    with pytest.raises(SystemExit):
+        args_mod.create_args().parse_args(["--config", str(path)])
+
+
+def test_config_file_bools_still_work_for_flag_actions(tmp_path):
+    path = tmp_path / "ok.json"
+    path.write_text(json.dumps({**BASE, "skipco": True, "apex_amp": False}))
+    opt = args_mod.create_args().parse_args(["--config", str(path)])
+    assert opt.skipco is True and opt.apex_amp is False
