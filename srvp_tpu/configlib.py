@@ -99,6 +99,15 @@ class ArgumentParser(argparse.ArgumentParser):
                                 f"config file key {key!r}: invalid choice "
                                 f"{v!r} (choose from "
                                 f"{', '.join(map(repr, action.choices))})")
+            # Mutually exclusive groups: file-sourced values bypass argparse's
+            # presence tracking, so enforce here (a value counts as "given"
+            # unless it is None or False — matching store_true semantics).
+            for grp in self._mutually_exclusive_groups:
+                given = [a for a in grp._group_actions
+                         if values.get(a.dest) not in (None, False)]
+                if len(given) > 1:
+                    names = ", ".join(a.option_strings[0] for a in given)
+                    self.error(f"config file sets mutually exclusive flags: {names}")
             self.set_defaults(**values)
             # Required flags satisfied by the config file are no longer required.
             for a in self._actions:

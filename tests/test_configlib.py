@@ -84,6 +84,18 @@ def test_config_file_bool_rejected_for_typed_flags(tmp_path):
         args_mod.create_args().parse_args(["--config", str(path)])
 
 
+def test_config_file_mutually_exclusive_flags_rejected(tmp_path):
+    path = tmp_path / "bad.json"
+    path.write_text(json.dumps({**BASE, "torch_amp": True, "apex_amp": True}))
+    with pytest.raises(SystemExit):
+        args_mod.create_args().parse_args(["--config", str(path)])
+    # one of them (plus the other as False, as saved config.json files have)
+    path2 = tmp_path / "ok.json"
+    path2.write_text(json.dumps({**BASE, "torch_amp": True, "apex_amp": False}))
+    opt = args_mod.create_args().parse_args(["--config", str(path2)])
+    assert opt.torch_amp and not opt.apex_amp
+
+
 def test_config_file_bools_still_work_for_flag_actions(tmp_path):
     path = tmp_path / "ok.json"
     path.write_text(json.dumps({**BASE, "skipco": True, "apex_amp": False}))
