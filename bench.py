@@ -251,9 +251,44 @@ def bench_rollout():
     return (nt - 1) * bsz * n / dtm
 
 
+def preflight_device(retries=3, probe_timeout=90, wait=60):
+    """Fail fast (with a diagnostic JSON line) if the device backend is
+    unresponsive, instead of hanging forever inside jax.devices().
+
+    The tunneled axon TPU service occasionally wedges for tens of minutes
+    (observed after Mosaic crashes and transient outages); an in-process
+    jax.devices() then blocks with no timeout. Probe from a killable
+    subprocess, retrying over a few minutes to ride out short wedges."""
+    import subprocess
+    last = ""
+    for i in range(retries):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 f"import sys; sys.path.insert(0, {REPO!r})\n"
+                 "from srvp_tpu.utils.runtime import honor_jax_platforms_env\n"
+                 "honor_jax_platforms_env()\n"  # an explicit JAX_PLATFORMS=cpu must win over the axon plugin
+                 "import jax; print(jax.devices()[0].device_kind)"],
+                capture_output=True, text=True, timeout=probe_timeout)
+            if proc.returncode == 0:
+                return True
+            last = (proc.stderr or "").strip()[-500:]
+        except subprocess.TimeoutExpired:
+            last = f"device probe hung >{probe_timeout}s (service wedged?)"
+        if i + 1 < retries:
+            print(f"device preflight failed ({last}); retrying in {wait}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(wait)
+    print(json.dumps({"metric": "train_frames_per_sec_per_chip",
+                      "value": None, "error": f"device unavailable: {last}"}))
+    return False
+
+
 def main():
     from srvp_tpu.utils.runtime import setup_compilation_cache
     setup_compilation_cache()
+    if not preflight_device():
+        sys.exit(3)
     baseline = get_baseline()
     per_config = {}
     for name in CONFIGS:
