@@ -93,3 +93,35 @@ def test_train_profile_dir_writes_trace(tmp_path):
         xplane_summary.main(str(profile_dir))
     main_out = buf.getvalue()
     assert "=== plane:" in main_out, main_out[:500]
+
+
+class TestBenchPreflight:
+    """bench.preflight_device: wedge-tolerant device probe (bench.py)."""
+
+    def _import_bench(self):
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        import bench
+        return bench
+
+    def test_unresponsive_device_emits_diagnostic_json(self, monkeypatch, capsys):
+        import json as json_mod
+        import subprocess
+        bench = self._import_bench()
+
+        def hang(*a, **kw):
+            raise subprocess.TimeoutExpired(cmd="probe", timeout=kw["timeout"])
+
+        monkeypatch.setattr(subprocess, "run", hang)
+        monkeypatch.setattr("time.sleep", lambda s: None)
+        assert bench.preflight_device(retries=2, probe_timeout=1, wait=0) is False
+        line = [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+        rec = json_mod.loads(line)  # one well-formed JSON line for the driver
+        assert rec["value"] is None and "device unavailable" in rec["error"]
+
+    def test_responsive_device_passes_silently(self, monkeypatch, capsys):
+        import subprocess
+        bench = self._import_bench()
+        ok = argparse.Namespace(returncode=0, stdout="TPU v5 lite\n", stderr="")
+        monkeypatch.setattr(subprocess, "run", lambda *a, **kw: ok)
+        assert bench.preflight_device(retries=1) is True
+        assert capsys.readouterr().out.strip() == ""
