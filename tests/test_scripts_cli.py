@@ -125,3 +125,33 @@ class TestBenchPreflight:
         monkeypatch.setattr(subprocess, "run", lambda *a, **kw: ok)
         assert bench.preflight_device(retries=1) is True
         assert capsys.readouterr().out.strip() == ""
+
+
+class TestSweepXlaFlags:
+    """scripts/sweep_xla_flags.py: per-leg isolation + partial persistence."""
+
+    def test_main_persists_partials_and_survives_leg_failure(
+            self, monkeypatch, tmp_path, capsys):
+        import json as json_mod
+        import sweep_xla_flags as sweep
+        monkeypatch.setattr(sweep, "OUT", str(tmp_path / "out.json"))
+        monkeypatch.setattr(sweep, "LEGS", {
+            "baseline": "", "fast": "--fake_flag", "broken": "--bad"})
+
+        def fake_run_leg(name, flags, cfg, steps):
+            if name == "broken":
+                return {"error": "Unknown flag --bad", "rc": 1}
+            return {"fps": 100.0, "sec_per_step": 0.1 if name == "baseline"
+                    else 0.09, "mfu": 0.5}
+
+        monkeypatch.setattr(sweep, "run_leg", fake_run_leg)
+        monkeypatch.setattr(sys, "argv", ["sweep_xla_flags.py", "kth-vgg", "3"])
+        sweep.main()
+        with open(tmp_path / "out.json") as f:
+            out = json_mod.load(f)
+        assert out["config"] == "kth-vgg" and out["steps"] == 3
+        assert set(out["legs"]) == {"baseline", "fast", "broken"}
+        assert out["legs"]["broken"]["error"].startswith("Unknown")
+        assert out["legs"]["fast"]["flags"] == "--fake_flag"
+        text = capsys.readouterr().out
+        assert "0.90x baseline" in text  # summary ranks vs baseline
