@@ -306,7 +306,7 @@ def main():
         # contract.
         snap = {"metric": "train_frames_per_sec_per_chip", "partial": True,
                 "configs": dict(per_config)}
-        with open("bench_partial.json", "w") as f:
+        with open(os.path.join(REPO, "bench_partial.json"), "w") as f:
             json.dump(snap, f)
         print(json.dumps(snap), file=sys.stderr, flush=True)
     ours_fps = per_config["smmnist-dcgan"]["train_frames_per_sec_per_chip"]

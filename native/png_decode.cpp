@@ -265,7 +265,10 @@ int decode_batch_impl(const char* const* paths, int n_frames, uint8_t* out,
                       int n_threads) {
   const size_t frame_bytes = static_cast<size_t>(h) * w * channels;
   std::atomic<int> next(0);
-  std::atomic<int> failed(0);  // (index + 1) of first failure, 0 = none
+  // (index + 1) of the lowest-index failure observed, 0 = none. Atomic-min
+  // rather than first-CAS-wins so concurrent failures report the
+  // lowest-index bad file deterministically.
+  std::atomic<int> failed(0);
 
   auto worker = [&]() {
     ScratchBufs sb;
@@ -274,8 +277,10 @@ int decode_batch_impl(const char* const* paths, int n_frames, uint8_t* out,
       if (i >= n_frames || failed.load(std::memory_order_relaxed)) return;
       uint8_t* dst = out + (offsets ? (size_t)offsets[i] : frame_bytes * i);
       if (decode_one(paths[i], dst, h, w, channels, sb)) {
-        int expected = 0;
-        failed.compare_exchange_strong(expected, i + 1);
+        int cur = failed.load(std::memory_order_relaxed);
+        while ((cur == 0 || i + 1 < cur) &&
+               !failed.compare_exchange_weak(cur, i + 1)) {
+        }
         return;
       }
     }

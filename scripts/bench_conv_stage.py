@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from srvp_tpu.ops.pallas.conv_stage import LEAKY_SLOPE, conv3x3_block_fwd
+from bench import PEAK_FLOPS  # per-device-kind bf16 peaks (repo root)
 
 
 def main():
@@ -97,9 +98,12 @@ def main():
             float(fn(x0).sum())
             per_call.append((time.perf_counter() - t0) / (a.inner + 1))
         dt = min(per_call)
-        print(f"{label} {dt*1e3:.3f} ms/block  {flops/dt/1e12:.1f} TFLOP/s "
-              f"({flops/dt/197e12*100:.0f}% MFU)")
+        mfu = (f"  ({flops/dt/peak*100:.0f}% MFU)" if peak else
+               "  (MFU n/a: unknown device kind)")
+        print(f"{label} {dt*1e3:.3f} ms/block  {flops/dt/1e12:.1f} TFLOP/s"
+              + mfu)
 
+    peak = PEAK_FLOPS.get(jax.devices()[0].device_kind, {}).get("bfloat16")
     flops = 2 * 9 * c * c * a.hw * a.hw * a.n
     if not a.xla_only:
         opts = {"xla_tpu_scoped_vmem_limit_kib": str(a.vmem_kib)} \

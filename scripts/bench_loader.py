@@ -106,7 +106,7 @@ def bench(dataset, batch, seq_len, n_batches, num_workers, native):
         b = next(it)
         n += b.shape[0] * b.shape[1] if b.ndim >= 2 else len(b)
     dt = time.perf_counter() - t0
-    return batch * seq_len * n_batches / dt
+    return n / dt  # actual frames delivered (== batch*seq_len*n_batches with drop_last)
 
 
 def main():

@@ -95,8 +95,10 @@ def main():
     samples = np.stack([
         np.asarray(sample(jax.random.fold_in(key, s)))
         for s in range(a.n_samples)])                 # (S, T, N, H, W, C)
+    # truncation, not rounding: matches eval_lib._to_u8 / the reference's
+    # .mul(255).byte() so artifacts are byte-identical with test.py's
     samples_u8 = np.transpose(
-        (samples * 255).round().astype(np.uint8), (0, 2, 1, 3, 4, 5))
+        (samples * 255).astype(np.uint8), (0, 2, 1, 3, 4, 5))
 
     out_path = a.out or os.path.join(a.xp_dir, "samples.npz")
     np.savez_compressed(

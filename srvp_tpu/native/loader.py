@@ -24,11 +24,35 @@ _lib = None
 _tried = False
 
 
+_CXXFLAGS = ["-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-pthread"]
+
+
+def _host_fingerprint():
+    """-march=native makes the cached .so host-specific: a checkout copied
+    to an older CPU would SIGILL mid-run instead of rebuilding. Key the
+    cache on the compile flags + the host's CPU feature flags."""
+    cpu = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    cpu = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        import platform
+        cpu = platform.machine()
+    import hashlib
+    return hashlib.sha256(
+        (" ".join(_CXXFLAGS) + "|" + cpu).encode()).hexdigest()
+
+
 def _build():
-    cmd = (["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-            "-pthread"]
-           + _SRCS + ["-lpng", "-lz", "-ldeflate", "-o", _LIB_PATH])
+    cmd = ["g++"] + _CXXFLAGS + _SRCS + [
+        "-lpng", "-lz", "-ldeflate", "-o", _LIB_PATH]
     subprocess.run(cmd, check=True, capture_output=True)
+    with open(_LIB_PATH + ".buildinfo", "w") as f:
+        f.write(_host_fingerprint())
 
 
 def get_native_lib():
@@ -39,12 +63,24 @@ def get_native_lib():
             return _lib
         _tried = True
         try:
+            info = _LIB_PATH + ".buildinfo"
             stale = not os.path.exists(_LIB_PATH) or any(
                 os.path.exists(s)
                 and os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
-                for s in _SRCS)
+                for s in _SRCS) or (
+                not os.path.exists(info)
+                or open(info).read() != _host_fingerprint())
             if stale:
-                _build()
+                try:
+                    _build()
+                except Exception:
+                    if not os.path.exists(_LIB_PATH):
+                        raise
+                    # no compiler but a prebuilt .so exists: use it (likely
+                    # built on this host; the fingerprint guards the
+                    # copied-checkout case when a compiler IS available)
+                    print("srvp_tpu native engine: rebuild failed, "
+                          "using existing prebuilt library")
             lib = ctypes.CDLL(_LIB_PATH)
             lib.mmnist_generate_batch.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -174,14 +210,38 @@ def mmnist_parts_batch(digits, frame_size, seq_len, max_speed, deterministic,
     return digits_out, pos_out
 
 
+_warned_pil_fallback = False
+
+
+def _pil_decode_into(paths, out, channels, place):
+    """PIL-parity fallback when the native decoder rejects a file (e.g. a
+    JPEG misnamed *.png — PIL sniffs content, the native path checks the
+    PNG signature). `place(i)` returns the (h, w[, c]) destination view for
+    path i. Reproduces the per-item paths' exact semantics:
+    np.array(Image.open(p)) with [:, :, 0] for channels == 1 color files."""
+    global _warned_pil_fallback
+    from PIL import Image
+    if not _warned_pil_fallback:
+        _warned_pil_fallback = True
+        print("srvp_tpu native PNG decode: falling back to PIL for a batch "
+              "with non-PNG or unsupported files")
+    for i, p in enumerate(paths):
+        a = np.array(Image.open(p))
+        if channels == 1 and a.ndim == 3:
+            a = a[:, :, 0]
+        place(i)[...] = a.reshape(place(i).shape)
+
+
 def decode_png_batch(paths, h, w, channels, n_threads=4):
     """Decodes a list of PNG file paths natively into (N, h, w, channels)
     uint8 (channels == 1 drops the trailing axis: (N, h, w)).
 
     channels == 1 takes a color file's RED channel — the exact semantics of
     np.array(Image.open(p))[:, :, 0] in data/kth.py. Returns None if the
-    native library is unavailable; raises on decode failure (bad file,
-    wrong dimensions)."""
+    native library is unavailable. A batch the native decoder rejects
+    (non-PNG content, unsupported variant, wrong dimensions) falls back to
+    PIL for parity with the per-item path; genuinely bad files then raise
+    from PIL/reshape exactly as the pure-Python path would."""
     lib = get_native_lib()
     if lib is None or getattr(lib, "srvp_png_decode_batch", None) is None:
         return None
@@ -191,9 +251,9 @@ def decode_png_batch(paths, h, w, channels, n_threads=4):
     rc = lib.srvp_png_decode_batch(arr, n, out.ctypes.data, h, w, channels,
                                    max(1, n_threads))
     if rc:
-        raise IOError(
-            f"native PNG decode failed for {paths[rc - 1]!r} "
-            f"(expected {h}x{w}, {channels} channel(s))")
+        # PIL-parity fallback; a genuinely corrupt file raises from PIL
+        # exactly as the pure-Python path would
+        _pil_decode_into(paths, out, channels, lambda i: out[i])
     return out[..., 0] if channels == 1 else out
 
 
@@ -224,7 +284,9 @@ def decode_png_timemajor(paths, n_videos, seq_len, h, w, channels,
         arr, n, out.ctypes.data, offsets.ctypes.data, h, w, channels,
         max(1, n_threads))
     if rc:
-        raise IOError(
-            f"native PNG decode failed for {paths[rc - 1]!r} "
-            f"(expected {h}x{w}, {channels} channel(s))")
+        flat = out.reshape(-1)
+        _pil_decode_into(
+            paths, out, channels,
+            lambda i: flat[offsets[i]:offsets[i] + frame_bytes].reshape(
+                h, w, channels))
     return out

@@ -138,9 +138,45 @@ def test_palette_file_uses_libpng_fallback(native_available, tmp_path):
 
 
 def test_wrong_dimensions_raise(native_available, tmp_path):
+    """A wrong-size frame errors like the pure-Python path (shape mismatch
+    via the PIL fallback), never silently produces garbage."""
     img = np.zeros((8, 8), np.uint8)
     path = str(tmp_path / "dims.png")
     with open(path, "wb") as f:
         f.write(encode_png(img, [0]))
-    with pytest.raises(IOError):
+    with pytest.raises((IOError, ValueError)):
         decode_png_batch([path], 16, 16, 1, n_threads=1)
+
+
+def test_non_png_file_falls_back_to_pil(native_available, tmp_path):
+    """A JPEG misnamed *.png decodes through the PIL fallback with identical
+    pixels to the per-item PIL path (the native decoder rejects the
+    signature; the pure-Python path sniffs content and succeeds)."""
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (16, 16), np.uint8)
+    path = str(tmp_path / "fake.png")
+    Image.fromarray(img).save(path, format="JPEG", quality=95)
+    expected = np.array(Image.open(path))
+    got = decode_png_batch([path], 16, 16, 1, n_threads=1)
+    np.testing.assert_array_equal(got[0], expected)
+
+
+def test_timemajor_fallback_places_frames_correctly(native_available, tmp_path):
+    """PIL fallback for the offsets (time-major) decoder writes each frame
+    at its (t, b) destination, matching the native layout contract."""
+    from PIL import Image
+    from srvp_tpu.native import decode_png_timemajor
+    rng = np.random.RandomState(1)
+    paths, imgs = [], []
+    for b in range(2):
+        for t in range(3):
+            img = rng.randint(0, 255, (8, 8), np.uint8)
+            p = str(tmp_path / f"v{b}_t{t}.png")
+            Image.fromarray(img).save(p, format="JPEG", quality=95)
+            imgs.append((b, t, np.array(Image.open(p))))
+            paths.append(p)
+    out = decode_png_timemajor(paths, 2, 3, 8, 8, 1, n_threads=1)
+    assert out.shape == (3, 2, 8, 8, 1)
+    for b, t, ref in imgs:
+        np.testing.assert_array_equal(out[t, b, :, :, 0], ref)
