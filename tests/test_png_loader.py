@@ -139,3 +139,36 @@ def test_loader_uses_timemajor_path_and_matches_fallback(kth_tree):
     assert len(batches_native) == len(batches_py) == 4
     for a, b in zip(batches_native, batches_py):
         np.testing.assert_array_equal(a, b)
+
+
+def test_kth_native_batch_with_misnamed_jpeg_matches_pil(tmp_path):
+    """A tree containing a JPEG misnamed *.png (PIL sniffs content and
+    accepts it; the native decoder rejects the signature) must still
+    produce PIL-identical batches via the decoder's fallback, not kill
+    the run (parity with the per-item path end to end)."""
+    from PIL import Image
+    _require_native()
+    rng = np.random.RandomState(3)
+    for c in KTH.classes:
+        os.makedirs(os.path.join(str(tmp_path), "processed_64", c))
+    cls = KTH.classes[0]
+    vdir = os.path.join(str(tmp_path), "processed_64", cls,
+                        f"person01_{cls}_d0")
+    os.makedirs(vdir)
+    for t in range(12):
+        p = os.path.join(vdir, f"{t:03d}.png")
+        if t == 5:
+            Image.fromarray(_frame(rng, rgb=True)).save(
+                p, format="JPEG", quality=95)
+        else:
+            Image.fromarray(_frame(rng)).save(p)
+    ds = KTH.make_dataset(str(tmp_path), 64, 8, True)
+    seeds = [11, 22]
+    native = ds.get_batch_seeded([0, 0], seeds, n_threads=2)
+    assert native is not None
+    for b, seed in enumerate(seeds):
+        ref = ds.get_item(0, np.random.RandomState(seed))
+        np.testing.assert_array_equal(native[b], ref)
+    tm = ds.get_batch_timemajor_u8([0, 0], seeds, n_threads=2)
+    items = [ds.get_item(0, np.random.RandomState(s)) for s in seeds]
+    np.testing.assert_array_equal(tm, collate_uint8(items))
