@@ -20,6 +20,8 @@ TPU re-design:
     ever transferred to the host
 """
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -28,6 +30,7 @@ import jax.numpy as jnp
 from srvp_tpu.metrics.pixel import frame_mse
 from srvp_tpu.metrics.ssim import video_ssim
 from srvp_tpu.models import srvp
+from srvp_tpu.utils.runtime import compiler_options_from_env
 
 LOWER_BETTER = {"mse": True, "fvd": True, "lpips": True, "psnr": False, "ssim": False}
 
@@ -113,7 +116,8 @@ def make_test_chunk(cfg, nt_cond, nt_test, o_inf, o_gen, compute_dtype=jnp.float
        metrics {psnr, ssim[, lpips]: (S, B)})
     """
     return jax.jit(_build_compute(cfg, nt_cond, nt_test, o_inf, o_gen,
-                                  compute_dtype, lpips_fn, use_fused_rollout))
+                                  compute_dtype, lpips_fn, use_fused_rollout),
+                   compiler_options=compiler_options_from_env())
 
 
 # ---------------------------------------------------------------------------
@@ -145,7 +149,7 @@ def make_select_chunk(cfg, nt_cond, nt_test, o_inf, o_gen, metric_names,
     compute = _build_compute(cfg, nt_cond, nt_test, o_inf, o_gen,
                              compute_dtype, lpips_fn, use_fused_rollout)
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=compiler_options_from_env())
     def select_chunk(carry, params, bn_state, x_cond, x_target, keys,
                      chunk_start):
         x_pred_u8, x_rec_u8, metrics = compute(params, bn_state, x_cond,

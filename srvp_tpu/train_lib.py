@@ -24,6 +24,7 @@ import optax
 from srvp_tpu.metrics.pixel import frame_psnr
 from srvp_tpu.models import srvp
 from srvp_tpu.objectives import elbo_loss
+from srvp_tpu.utils.runtime import compiler_options_from_env
 
 
 class TrainState(NamedTuple):
@@ -90,7 +91,8 @@ def make_train_step(cfg, hp):
                          compute_dtype=hp.compute_dtype,
                          fused_rollout=hp.fused_rollout)
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,),
+             compiler_options=compiler_options_from_env())
     def train_step(ts: TrainState, x):
         rng = jax.random.fold_in(ts.rng, ts.step)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -23,6 +23,32 @@ def honor_jax_platforms_env():
         jax.config.update("jax_platforms", want)
 
 
+def compiler_options_from_env():
+    """Optional per-compile XLA compiler options from SRVP_COMPILER_OPTIONS.
+
+    Format: JSON object, e.g. '{"xla_tpu_scoped_vmem_limit_kib": 65536}'.
+    JSON types are preserved: PJRT option parsing is typed (a bool option
+    rejects the string "false"), so booleans/ints must arrive as such.
+    Returns None when unset (the common case — jax.jit(compiler_options=None)
+    is the default behavior).
+
+    Why this channel and not XLA_FLAGS: under the tunneled axon TPU platform
+    the *local* XLA client parses XLA_FLAGS and aborts on TPU-only flags it
+    does not know (parse_flags_from_env.cc fatal); per-compile
+    compiler_options travel through PJRT to the remote TPU compiler instead
+    (verified working on hardware). Used by scripts/sweep_xla_flags.py and
+    available for production tuning.
+    """
+    raw = os.environ.get("SRVP_COMPILER_OPTIONS")
+    if not raw:
+        return None
+    opts = json.loads(raw)
+    if not isinstance(opts, dict):
+        raise ValueError(
+            f"SRVP_COMPILER_OPTIONS must be a JSON object, got: {raw!r}")
+    return opts
+
+
 def setup_compilation_cache(cache_dir=None):
     """Enables JAX's persistent compilation cache (idempotent); also makes
     an explicit JAX_PLATFORMS env choice stick (every CLI entry point calls

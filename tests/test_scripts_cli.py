@@ -14,6 +14,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -127,6 +128,51 @@ class TestBenchPreflight:
         assert capsys.readouterr().out.strip() == ""
 
 
+class TestCompilerOptionsEnv:
+    """SRVP_COMPILER_OPTIONS -> per-compile PJRT compiler options."""
+
+    def test_unset_returns_none(self, monkeypatch):
+        from srvp_tpu.utils.runtime import compiler_options_from_env
+        monkeypatch.delenv("SRVP_COMPILER_OPTIONS", raising=False)
+        assert compiler_options_from_env() is None
+
+    def test_json_types_preserved(self, monkeypatch):
+        # PJRT option parsing is typed: bools/ints must survive as such.
+        from srvp_tpu.utils.runtime import compiler_options_from_env
+        monkeypatch.setenv(
+            "SRVP_COMPILER_OPTIONS",
+            '{"xla_tpu_scoped_vmem_limit_kib": 65536, "flag": false,'
+            ' "name": "x"}')
+        assert compiler_options_from_env() == {
+            "xla_tpu_scoped_vmem_limit_kib": 65536, "flag": False,
+            "name": "x"}
+
+    def test_non_object_rejected(self, monkeypatch):
+        from srvp_tpu.utils.runtime import compiler_options_from_env
+        monkeypatch.setenv("SRVP_COMPILER_OPTIONS", '["not", "a", "dict"]')
+        with pytest.raises(ValueError, match="JSON object"):
+            compiler_options_from_env()
+
+    def test_train_step_builds_with_options(self, monkeypatch):
+        # The env hook must not break jit construction/compilation on the
+        # CPU backend (harmless generic option).
+        import jax.numpy as jnp
+        from srvp_tpu import train_lib
+        from srvp_tpu.models.srvp import SRVPConfig
+        import jax
+        monkeypatch.setenv("SRVP_COMPILER_OPTIONS",
+                           '{"xla_cpu_enable_fast_math": false}')
+        cfg = SRVPConfig(nx=64, nc=1, nf=4, nhx=8, ny=4, nz=4, skipco=False,
+                         nt_inf=2, nh_inf=8, nlayers_inf=2, nh_res=16,
+                         nlayers_res=2, archi="dcgan")
+        hp = train_lib.TrainHParams(nt_cond=2)
+        ts = train_lib.init_train_state(jax.random.PRNGKey(0), cfg, hp)
+        step = train_lib.make_train_step(cfg, hp)
+        x = jnp.zeros((4, 2, 64, 64, 1), jnp.float32)
+        ts2, metrics = step(ts, x)
+        assert jnp.isfinite(metrics["loss"])
+
+
 class TestSweepXlaFlags:
     """scripts/sweep_xla_flags.py: per-leg isolation + partial persistence."""
 
@@ -136,9 +182,10 @@ class TestSweepXlaFlags:
         import sweep_xla_flags as sweep
         monkeypatch.setattr(sweep, "OUT", str(tmp_path / "out.json"))
         monkeypatch.setattr(sweep, "LEGS", {
-            "baseline": "", "fast": "--fake_flag", "broken": "--bad"})
+            "baseline": {}, "fast": {"fake_option": "1"},
+            "broken": {"bad_option": "x"}})
 
-        def fake_run_leg(name, flags, cfg, steps):
+        def fake_run_leg(name, options, cfg, steps):
             if name == "broken":
                 return {"error": "Unknown flag --bad", "rc": 1}
             return {"fps": 100.0, "sec_per_step": 0.1 if name == "baseline"
@@ -152,6 +199,6 @@ class TestSweepXlaFlags:
         assert out["config"] == "kth-vgg" and out["steps"] == 3
         assert set(out["legs"]) == {"baseline", "fast", "broken"}
         assert out["legs"]["broken"]["error"].startswith("Unknown")
-        assert out["legs"]["fast"]["flags"] == "--fake_flag"
+        assert out["legs"]["fast"]["options"] == {"fake_option": "1"}
         text = capsys.readouterr().out
         assert "0.90x baseline" in text  # summary ranks vs baseline
