@@ -173,5 +173,11 @@ def create_args():
     tpu_p.add("--no_device_compose", action="store_true",
               help="For Moving MNIST: disable on-device frame compositing and "
                    "ship full uint8 frames instead.")
+    tpu_p.add("--steps_per_dispatch", type=int, metavar="K", default=1,
+              help="Run K optimization steps per device dispatch (a jitted "
+                   "scan over K stacked batches): same RNG/update sequence "
+                   "(float drift only from XLA fusion differences), "
+                   "amortized dispatch/transfer overhead. Must divide "
+                   "log/val/chkpt intervals.")
 
     return p

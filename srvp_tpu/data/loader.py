@@ -39,6 +39,20 @@ class DataLoader:
         self.prefetch = prefetch
         self.collate_fn = collate_fn
         self.epoch = 0
+        self._start_batch = 0
+
+    def fast_forward(self, n_batches):
+        """Advances the deterministic batch stream by n_batches WITHOUT
+        generating them (epoch order and per-item seeds depend only on
+        (seed, epoch, position), so skipping is free).
+
+        Used on --resume so a resumed run consumes the exact same data
+        sequence an uninterrupted run would have — the reference has no
+        equivalent (a torch DataLoader restart replays the stream from the
+        beginning)."""
+        per_epoch = max(len(self), 1)
+        self.epoch += n_batches // per_epoch
+        self._start_batch = n_batches % per_epoch
 
     def __len__(self):
         n = len(self.dataset)
@@ -58,6 +72,8 @@ class DataLoader:
         n_batches = len(self)
         epoch = self.epoch
         self.epoch += 1
+        start_batch = self._start_batch
+        self._start_batch = 0  # an offset applies to one epoch only
 
         def item_seed(pos):
             return (self.seed * 1_000_003 + epoch * 7_777_777 + pos) % (2**31 - 1)
@@ -79,7 +95,7 @@ class DataLoader:
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for b in range(n_batches):
+                    for b in range(start_batch, n_batches):
                         if stop.is_set():
                             return
                         lo = b * self.batch_size

@@ -1,3 +1,4 @@
 from srvp_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, batch_sharding, replicated, shard_batch, pad_to_multiple,
+    make_mesh, batch_sharding, replicated, shard_batch,
+    shard_stacked_batches, pad_to_multiple,
 )

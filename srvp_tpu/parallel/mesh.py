@@ -102,6 +102,30 @@ def shard_batch(mesh, batch, batch_axis=1):
     return jax.device_put(batch, batch_sharding(mesh, batch_axis, batch.ndim))
 
 
+def shard_stacked_batches(mesh, batches, batch_axis=1):
+    """Stacks k host batches on a new leading axis and ships them in ONE
+    device_put per leaf, sharded over the (now shifted) batch axis.
+
+    Feed for a steps-per-dispatch window (`make_train_step(...,
+    steps_per_call=k)`): leaves become (k, T, B, ...) for dense video
+    batches (batch axis 1 -> 2) or (k, B, ...) for parts dicts (batch
+    axis 0 -> 1); `lax.scan` consumes the leading axis. Same
+    replicated-fallback contract as `shard_batch` for batch sizes that do
+    not divide the mesh."""
+    n = mesh.devices.size
+
+    def put(v, ax):
+        return jax.device_put(
+            v,
+            batch_sharding(mesh, ax, v.ndim) if v.shape[ax] % n == 0
+            else _replicated_fallback(mesh, v.shape[ax], n))
+
+    first = batches[0]
+    if isinstance(first, dict):
+        return {k: put(np.stack([b[k] for b in batches]), 1) for k in first}
+    return put(np.stack(batches), batch_axis + 1)
+
+
 def pad_to_multiple(batch, n, batch_axis=1):
     """Pads the batch axis up to a multiple of n by repeating the last
     element; returns (padded, n_valid).

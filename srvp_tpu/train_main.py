@@ -21,7 +21,8 @@ from srvp_tpu.data.base import load_dataset
 from srvp_tpu.data.loader import DataLoader, infinite_batches
 from srvp_tpu.helper import save_json
 from srvp_tpu.models.srvp import SRVPConfig
-from srvp_tpu.parallel import make_mesh, replicated, shard_batch
+from srvp_tpu.parallel import (make_mesh, replicated, shard_batch,
+                               shard_stacked_batches)
 from srvp_tpu.utils import checkpoint as ckpt
 
 
@@ -103,6 +104,10 @@ def main(opt):
         ts, meta = ckpt.load_train_state(opt.save_path, ts)
         ts = jax.device_put(ts, replicated(mesh))
         resumed_step = int(ts.step)
+        # Resume consumes the same data sequence an uninterrupted run would:
+        # skip the batches the interrupted run already trained on (free —
+        # the loader's stream is position-seeded).
+        train_loader.fast_forward(resumed_step)
         print(f"Resumed from step {resumed_step}")
 
     os.makedirs(opt.save_path, exist_ok=True)
@@ -116,6 +121,20 @@ def main(opt):
                          truncate_after=resumed_step)
 
     train_step = train_lib.make_train_step(cfg, hp)
+    spd = opt.get("steps_per_dispatch") or 1
+    if spd > 1 and opt.get("profile_dir"):
+        print("steps_per_dispatch forced to 1: --profile_dir traces "
+              "individual steps")
+        spd = 1
+    if spd > 1:
+        for nm in ("log_interval", "val_interval", "chkpt_interval"):
+            iv = opt.get(nm)
+            if iv and iv % spd:
+                raise ValueError(
+                    f"--steps_per_dispatch {spd} must divide --{nm} {iv} "
+                    f"(boundary actions fire between dispatch windows)")
+    multi_step = (train_lib.make_train_step(cfg, hp, steps_per_call=spd)
+                  if spd > 1 else None)
     eval_batch = train_lib.make_eval_batch(cfg, hp, nt=seq_len_val)
     eval_key = jax.random.PRNGKey(opt.seed + 123)
 
@@ -131,14 +150,31 @@ def main(opt):
 
     profile_dir = opt.get("profile_dir")
 
-    def device_batches():
+    def device_batches(start_itr):
         """Double-buffered host->device pipeline: the next batch's transfer
-        is dispatched (device_put is async) while the current step runs."""
+        is dispatched (device_put is async) while the current step runs.
+
+        Yields (width, batch): width == steps_per_dispatch windows (batches
+        stacked on a leading axis, consumed by one scan dispatch) whenever
+        the step counter is window-aligned and a full window fits before
+        n_iter; single steps otherwise (e.g. right after resuming from an
+        unaligned SIGTERM checkpoint, or the ragged tail before n_iter).
+        The iteration sequence is deterministic in start_itr, so prefetch
+        tracks its own simulated counter."""
         it = infinite_batches(train_loader)
-        nxt = shard_batch(mesh, next(it))
+
+        def fetch(i):
+            if spd > 1 and i % spd == 0 and i + spd <= opt.n_iter:
+                return spd, shard_stacked_batches(
+                    mesh, [next(it) for _ in range(spd)])
+            return 1, shard_batch(mesh, next(it))
+
+        i = start_itr
+        nxt = fetch(i)
         while True:
             cur = nxt
-            nxt = shard_batch(mesh, next(it))
+            i += cur[0]
+            nxt = fetch(i)
             yield cur
 
     # Graceful preemption: SIGTERM checkpoints the full train state and exits
@@ -155,13 +191,14 @@ def main(opt):
     writer = ckpt.AsyncCheckpointer()
 
     try:
-        for batch in device_batches():
+        for width, batch in device_batches(itr):
             if itr >= opt.n_iter or stop_requested:
                 break
-            itr += 1
+            itr += width
             if profile_dir and itr == 10:
                 jax.profiler.start_trace(profile_dir)
-            ts, metrics = train_step(ts, batch)
+            ts, metrics = (train_step(ts, batch) if width == 1
+                           else multi_step(ts, batch))
             if profile_dir and itr == 15:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()

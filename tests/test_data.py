@@ -101,6 +101,31 @@ class TestLoader:
         c1, _ = take2(6)
         assert np.abs(a1 - c1).max() > 0
 
+    def test_fast_forward_matches_streamed_batches(self):
+        """fast_forward(n) must land the stream exactly where consuming n
+        batches would (including across an epoch boundary), without
+        generating them — the --resume data-continuity contract."""
+        from srvp_tpu.data.loader import infinite_batches
+        digits = [np.random.RandomState(i).randint(0, 255, (28, 28))
+                  .astype(np.uint8) for i in range(50)]
+        ds = MovingMNIST(digits, 64, 3, 4, False, 1, False)  # test mode
+        ds.data = digits
+
+        ref_loader = DataLoader(ds, batch_size=10, seed=11, num_workers=1)
+        per_epoch = len(ref_loader)
+        n_skip = per_epoch + 2  # crosses an epoch boundary
+        ref_it = infinite_batches(ref_loader)
+        for _ in range(n_skip):
+            next(ref_it)
+        want = [next(ref_it) for _ in range(3)]
+
+        ff_loader = DataLoader(ds, batch_size=10, seed=11, num_workers=1)
+        ff_loader.fast_forward(n_skip)
+        ff_it = infinite_batches(ff_loader)
+        got = [next(ff_it) for _ in range(3)]
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(a, b)
+
     def test_epoch_advances_order(self):
         digits = [np.random.RandomState(i).randint(0, 255, (28, 28)).astype(np.uint8)
                   for i in range(50)]

@@ -54,6 +54,41 @@ def test_train_then_test_roundtrip(tmp_path):
     assert np.all(np.isfinite(results["psnr"]))
 
 
+def test_steps_per_dispatch_cli_matches_single_dispatch(tmp_path):
+    """--steps_per_dispatch 2 through the real CLI reproduces the spd=1
+    run (same data order, same val/checkpoint cadence; float drift only
+    from XLA fusing the scan body differently). Also exercises the
+    unaligned-resume catch-up: resuming at step 3 runs singles until the
+    window grid, then a full window, then the ragged tail."""
+    def run(spd, n_iter, save, resume=False):
+        argv = (f"--save_path {save} --dataset smmnist --data_dir {save} "
+                "--ny 4 --nz 4 --nt_cond 3 --nt_inf 2 --nc 1 --seq_len 6 "
+                "--seed 5 --nf 4 --nhx 8 --nh_inf 8 --nlayers_inf 2 "
+                "--nh_res 16 --nlayers_res 2 --batch_size 8 "
+                "--batch_size_test 4 --val_interval 6 --n_iter_test 1 "
+                "--n_samples_test 2 --val_samples_chunk 2 --log_interval 6 "
+                "--allow_synthetic --n_workers 1 "
+                f"--n_iter {n_iter} --steps_per_dispatch {spd}"
+                + (" --resume" if resume else "")).split()
+        opt = DotDict(vars(args_mod.create_args().parse_args(argv)))
+        assert train_main(opt) == 0
+        return np.load(save / "model.npz")
+
+    ref = run(1, 7, tmp_path / "a")
+    got = run(2, 7, tmp_path / "b")
+    assert set(ref.files) == set(got.files)
+    for k in ref.files:
+        np.testing.assert_allclose(ref[k], got[k], rtol=2e-5, atol=1e-6,
+                                   err_msg=k)
+
+    # unaligned resume: 3 steps at spd=1, then continue to 7 at spd=2
+    run(1, 3, tmp_path / "c")
+    got2 = run(2, 7, tmp_path / "c", resume=True)
+    for k in ref.files:
+        np.testing.assert_allclose(ref[k], got2[k], rtol=2e-5, atol=1e-6,
+                                   err_msg=k)
+
+
 def test_train_then_test_roundtrip_vgg_skipco_kth_hparams(tmp_path):
     """Same CLI roundtrip at the KTH recipe's structural hyperparameters
     (reference README training section: vgg, skipco, ny=nz=50,

@@ -48,6 +48,83 @@ def test_train_step_decreases_loss():
     assert last < first
 
 
+def test_multi_step_dispatch_matches_singles():
+    """steps_per_call=k scans the SAME step body (same per-step RNG
+    fold-in, step counter, lr schedule), so a k-window must reproduce k
+    single-step calls up to XLA fusion-level float reassociation (the scan
+    body compiles into different fusions than the standalone step)."""
+    xs = [synth_batch(seed=s) for s in range(4)]
+
+    ts_a = train_lib.init_train_state(jax.random.PRNGKey(7), TINY, HP)
+    single = train_lib.make_train_step(TINY, HP)
+    for x in xs:
+        ts_a, m_a = single(ts_a, x)
+
+    ts_b = train_lib.init_train_state(jax.random.PRNGKey(7), TINY, HP)
+    multi = train_lib.make_train_step(TINY, HP, steps_per_call=4)
+    ts_b, m_b = multi(ts_b, jnp.stack(xs))
+
+    assert int(ts_b.step) == int(ts_a.step) == 4
+    np.testing.assert_array_equal(np.asarray(ts_a.rng), np.asarray(ts_b.rng))
+    for a, b in zip(jax.tree_util.tree_leaves(ts_a.params),
+                    jax.tree_util.tree_leaves(ts_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    for k in m_a:
+        np.testing.assert_allclose(np.asarray(m_a[k]), np.asarray(m_b[k]),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_multi_step_dispatch_parts_dict_batches():
+    """Moving MNIST parts dicts (device-side compositing) stack leaf-wise
+    and scan identically."""
+    def synth_parts(nt, bsz, seed):
+        rng = np.random.RandomState(seed)
+        return {
+            "digits": rng.randint(0, 256, (bsz, 2, 28, 28), dtype=np.uint8),
+            "pos": rng.randint(0, 64 - 28, (bsz, 2, nt, 2)).astype(np.int32),
+        }
+
+    parts = [synth_parts(nt=4, bsz=8, seed=s) for s in range(2)]
+
+    ts_a = train_lib.init_train_state(jax.random.PRNGKey(8), TINY, HP)
+    single = train_lib.make_train_step(TINY, HP)
+    for p in parts:
+        ts_a, m_a = single(ts_a, p)
+
+    ts_b = train_lib.init_train_state(jax.random.PRNGKey(8), TINY, HP)
+    multi = train_lib.make_train_step(TINY, HP, steps_per_call=2)
+    stacked = {k: jnp.stack([p[k] for p in parts]) for k in parts[0]}
+    ts_b, m_b = multi(ts_b, stacked)
+
+    np.testing.assert_allclose(np.asarray(m_a["loss"]),
+                               np.asarray(m_b["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ts_a.params),
+                    jax.tree_util.tree_leaves(ts_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_shard_stacked_batches_partitions_batch_axis():
+    """Stacked windows shard the shifted batch axis over the mesh and feed
+    the k-step scan to the same result as unsharded execution."""
+    from srvp_tpu.parallel import shard_stacked_batches
+    mesh = make_mesh(8)
+    xs = [np.asarray(synth_batch(nt=3, bsz=8, seed=s)) for s in range(2)]
+    stacked = shard_stacked_batches(mesh, xs)
+    assert stacked.shape == (2, 3, 8, 64, 64, 1)
+    # leading (scan) axis replicated, batch axis (now 2) sharded over 'data'
+    spec = stacked.sharding.spec
+    assert spec[2] == ("data",) or spec[2] == "data"
+
+    ts = train_lib.init_train_state(jax.random.PRNGKey(9), TINY, HP)
+    ts = jax.device_put(ts, replicated(mesh))
+    multi = train_lib.make_train_step(TINY, HP, steps_per_call=2)
+    ts, m = multi(ts, stacked)
+    assert int(ts.step) == 2 and np.isfinite(float(m["loss"]))
+
+
 def test_checkpoint_roundtrip_and_resume(tmp_path):
     ts = train_lib.init_train_state(jax.random.PRNGKey(1), TINY, HP)
     step = train_lib.make_train_step(TINY, HP)
