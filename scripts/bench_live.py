@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""LIVE end-to-end training throughput: the real train_main loop, real input
+pipeline (device compositing for smmnist, native PNG service for KTH), real
+logging/checkpoint machinery — not the jit-chained compute ceiling bench.py
+measures.
+
+Runs the production CLI loop for each config x steps_per_dispatch and reports
+the sustained frames/s/chip from the loop's own metrics.jsonl fps samples
+(median of the post-warmup tail). Reference equivalent: the hot loop at
+/root/reference/train.py:321-372 (whose wall-clock rate is likewise loader +
+H2D + step, not bare kernel time).
+
+    python scripts/bench_live.py [--configs smmnist-dcgan kth-vgg]
+        [--ks 1 4 8] [--out bench_live.json]
+
+Prints one JSON line per (config, k) plus a final summary line.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from srvp_tpu import args as args_mod  # noqa: E402
+from srvp_tpu.helper import DotDict  # noqa: E402
+
+# Flagship training recipes (reference README training section), at their
+# real shapes. n_iter is sized so the post-compile tail has >= 6 fps samples.
+LIVE_CONFIGS = {
+    "smmnist-dcgan": dict(
+        argv="--dataset smmnist --allow_synthetic --archi dcgan "
+             "--ny 20 --nz 20 --nt_inf 5 --nt_cond 5 --n_euler_steps 1 --nc 1 "
+             "--nf 64 --nhx 128 --nh_inf 256 --nlayers_inf 3 --nh_res 512 "
+             "--nlayers_res 4 --batch_size 128 --seq_len 15 "
+             "--precision bfloat16 --seed 7",
+        n_iter=1600, log_interval=100, dataset="smmnist"),
+    "kth-vgg": dict(
+        argv="--dataset kth --archi vgg --skipco --ny 50 --nz 50 "
+             "--n_euler_steps 2 --res_gain 1.2 --obs_scale 0.2 "
+             "--nt_cond 10 --nt_inf 3 --nc 1 --seq_len 20 "
+             "--nf 64 --nhx 128 --nh_inf 256 --nlayers_inf 3 --nh_res 512 "
+             "--nlayers_res 4 --batch_size 100 "
+             "--precision bfloat16 --seed 7",
+        n_iter=160, log_interval=16, dataset="kth"),
+}
+
+
+def data_dir_for(name, root):
+    cfg = LIVE_CONFIGS[name]
+    d = os.path.join(root, cfg["dataset"])
+    os.makedirs(d, exist_ok=True)
+    if cfg["dataset"] == "kth":
+        from scripts.bench_loader import build_kth_tree
+        build_kth_tree(d)  # natural-entropy synthetic PNG tree, cached
+    return d
+
+
+def run_live(name, k, data_root, keep_xp=None):
+    cfg = LIVE_CONFIGS[name]
+    xp_dir = keep_xp or tempfile.mkdtemp(prefix=f"live_{name}_k{k}_")
+    n_iter = cfg["n_iter"]
+    # boundary actions must land on dispatch-window edges (train_main
+    # validates log/val/chkpt intervals divide by steps_per_dispatch)
+    li = (cfg["log_interval"] + k - 1) // k * k
+    val_interval = (n_iter * 10 + k - 1) // k * k
+    argv = (cfg["argv"] + f" --save_path {xp_dir} "
+            f"--data_dir {data_dir_for(name, data_root)} "
+            f"--n_iter {n_iter} --log_interval {li} "
+            f"--val_interval {val_interval} --n_iter_test 1 "
+            f"--n_samples_test 2 --val_samples_chunk 2 "
+            f"--steps_per_dispatch {k}").split()
+    opt = DotDict(vars(args_mod.create_args().parse_args(argv)))
+
+    from srvp_tpu.train_main import main as train_main
+    rc = train_main(opt)
+    assert rc == 0, f"train_main rc={rc}"
+
+    samples = []
+    with open(os.path.join(xp_dir, "metrics.jsonl")) as f:
+        for line in f:
+            row = json.loads(line)
+            if "fps" in row:
+                samples.append((row["step"], row["fps"]))
+    if not keep_xp:
+        shutil.rmtree(xp_dir, ignore_errors=True)
+    # first samples carry jit compilation; keep the tail
+    tail = [fps for _, fps in samples[max(2, len(samples) // 3):]]
+    tail.sort()
+    med = tail[len(tail) // 2] if tail else float("nan")
+    return med, [round(f, 1) for _, f in samples]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", nargs="+", default=list(LIVE_CONFIGS))
+    p.add_argument("--ks", nargs="+", type=int, default=[1, 4, 8])
+    p.add_argument("--data_root", default="/tmp/srvp_live_bench")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    from srvp_tpu.utils.runtime import setup_compilation_cache
+    setup_compilation_cache()
+
+    results = {}
+    for name in args.configs:
+        results[name] = {}
+        for k in args.ks:
+            med, all_samples = run_live(name, k, args.data_root)
+            row = {"config": name, "steps_per_dispatch": k,
+                   "live_frames_per_sec_per_chip": round(med, 1),
+                   "fps_samples": all_samples}
+            results[name][str(k)] = round(med, 1)
+            print(json.dumps(row), flush=True)
+    print(json.dumps({"summary": results}), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
