@@ -310,6 +310,22 @@ def main():
             json.dump(snap, f)
         print(json.dumps(snap), file=sys.stderr, flush=True)
     ours_fps = per_config["smmnist-dcgan"]["train_frames_per_sec_per_chip"]
+
+    # LIVE end-to-end loop rate (real train_main: loader + H2D + dispatch +
+    # step), vs the jit-chained compute ceiling above. Short legs to bound
+    # bench wall time; scripts/bench_live.py measures the full version.
+    live = {}
+    for name, n_iter in (("smmnist-dcgan", 800), ("kth-vgg", 96)):
+        try:
+            from scripts.bench_live import run_live
+            fps, _ = run_live(name, k=1, data_root="/tmp/srvp_live_bench",
+                              n_iter=n_iter)
+            live[name] = round(fps, 1)
+        except Exception as e:  # live leg must never sink the bench line
+            live[name] = None
+            print(f"live leg {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
     rollout_fps = bench_rollout()
     ref0 = (baseline or {}).get("smmnist-dcgan")
     vs = ours_fps / ref0["train_frames_per_sec"] if ref0 else float("nan")
@@ -322,6 +338,7 @@ def main():
                             "harness (no CUDA device here; reference "
                             "publishes no throughput numbers)",
         "configs": per_config,
+        "live_frames_per_sec_per_chip": live,
         "rollout_frames_per_sec_per_chip": round(rollout_fps, 1),
         "baseline": baseline,
         "config": {"dataset": "smmnist-synth", "archi": "dcgan",

@@ -59,10 +59,10 @@ def data_dir_for(name, root):
     return d
 
 
-def run_live(name, k, data_root, keep_xp=None):
+def run_live(name, k, data_root, keep_xp=None, n_iter=None):
     cfg = LIVE_CONFIGS[name]
     xp_dir = keep_xp or tempfile.mkdtemp(prefix=f"live_{name}_k{k}_")
-    n_iter = cfg["n_iter"]
+    n_iter = n_iter or cfg["n_iter"]
     # boundary actions must land on dispatch-window edges (train_main
     # validates log/val/chkpt intervals divide by steps_per_dispatch)
     li = (cfg["log_interval"] + k - 1) // k * k

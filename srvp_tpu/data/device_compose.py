@@ -11,7 +11,6 @@ generators (Python and C++), so the composited batch is bit-equal to
 MovingMNIST.get_item for the same seeds.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,29 +19,34 @@ def composite_mmnist(digits, pos, frame_size=64):
     """digits: (B, D, h, w) uint8; pos: (B, D, T, 2) int32 top-left corners.
 
     Returns (T, B, frame_size, frame_size, 1) uint8 video batch.
+
+    MXU formulation: placing a digit at (sx, sy) is two one-hot placement
+    matmuls, P_x @ digit @ P_y^T with P_x[x, r] = (x == sx + r) — batched
+    over (B, D, T) as two einsums. No dynamic addressing: the previous
+    dynamic_slice version issued B·D·T tiny unaligned slices from padded
+    canvases and cost 7.0 ms per (128, 2, 15) batch on a v5e chip; this one
+    costs 0.9 ms, bit-equal (docs/DESIGN.md "Round-4 live-loop breakdown").
+
+    Exactness: uint8 values are integers <= 255, exact in bf16 (8
+    significand bits); each output of a one-hot contraction is a sum with
+    at most ONE nonzero product, so both matmuls are exact; the digit sum
+    accumulates in fp32 (exact to 2^24), then clamps at 255 — identical to
+    the host generators' uint16-accumulate + clamp.
     """
     bsz, n_dig, h, w = digits.shape
-    t_len = pos.shape[2]
-    # Pad each digit into a (2fs, 2fs) canvas with the image at (fs, fs);
-    # placing it at (sx, sy) is then a dynamic_slice at (fs - sx, fs - sy).
-    # Slice starts range over [h, fs] and ends over [fs + h, 2fs], so the
-    # 2fs canvas keeps every slice in-bounds (dynamic_slice would silently
-    # clamp otherwise).
-    pad_h = pad_w = 2 * frame_size
-    padded = jnp.zeros((bsz, n_dig, pad_h, pad_w), jnp.uint16)
-    padded = padded.at[:, :, frame_size:frame_size + h,
-                       frame_size:frame_size + w].set(digits.astype(jnp.uint16))
-
-    def place(img_pad, sxy):
-        return jax.lax.dynamic_slice(
-            img_pad, (frame_size - sxy[0], frame_size - sxy[1]),
-            (frame_size, frame_size))
-
-    # vmap over batch, digit, time
-    place_t = jax.vmap(place, in_axes=(None, 0))          # time
-    place_d = jax.vmap(place_t, in_axes=(0, 0))           # digit
-    place_b = jax.vmap(place_d, in_axes=(0, 0))           # batch
-    frames = place_b(padded, pos)                         # (B, D, T, fs, fs)
+    fx = jnp.arange(frame_size)
+    sx, sy = pos[..., 0], pos[..., 1]                     # (B, D, T)
+    oh_x = (fx[None, None, None, :, None] ==
+            sx[..., None, None] + jnp.arange(h)[None, None, None, None, :]
+            ).astype(jnp.bfloat16)                        # (B, D, T, fs, h)
+    oh_y = (fx[None, None, None, :, None] ==
+            sy[..., None, None] + jnp.arange(w)[None, None, None, None, :]
+            ).astype(jnp.bfloat16)                        # (B, D, T, fs, w)
+    d = digits.astype(jnp.bfloat16)
+    placed_y = jnp.einsum("bdrc,bdtyc->bdtry", d, oh_y,
+                          preferred_element_type=jnp.float32)
+    frames = jnp.einsum("bdtxr,bdtry->bdtxy", oh_x, placed_y,
+                        preferred_element_type=jnp.float32)  # (B, D, T, fs, fs)
     video = jnp.minimum(frames.sum(axis=1), 255).astype(jnp.uint8)
     return jnp.transpose(video, (1, 0, 2, 3))[..., None]  # (T, B, fs, fs, 1)
 
