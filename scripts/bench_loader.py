@@ -34,23 +34,38 @@ from srvp_tpu.data.bair import BAIR  # noqa: E402
 from srvp_tpu.data.loader import DataLoader, infinite_batches  # noqa: E402
 
 
-def _frame(i, t, rgb=False):
-    """Smooth moving-gradient frame; compresses like natural video."""
+def _frame(i, t, rgb=False, noise_amp=0):
+    """Synthetic frame: smooth moving gradient, plus optional sensor-style
+    texture noise. noise_amp=0 compresses like clean rendered video
+    (~1-2 KB/frame PNG); noise_amp~14 yields IDAT sizes matching natural
+    camera video (BAIR robot-arm frames are ~6-8 KB at 64x64 RGB) — the
+    decode-cost-realistic case for loader benchmarking."""
     y, x = np.mgrid[0:64, 0:64]
     img = ((np.sin(x / 9.0 + i * 0.7 + t * 0.13)
-            + np.cos(y / 7.0 + t * 0.11)) * 55 + 120).astype(np.uint8)
+            + np.cos(y / 7.0 + t * 0.11)) * 55 + 120)
+    if noise_amp:
+        rng = np.random.RandomState(i * 1000 + t)
+        shape = (64, 64, 3) if rgb else (64, 64)
+        noisy = img[..., None] if rgb else img
+        out = np.clip(noisy + rng.randint(-noise_amp, noise_amp + 1, shape),
+                      0, 255).astype(np.uint8)
+        if rgb:
+            return out
+        return out
+    img = img.astype(np.uint8)
     if not rgb:
         return img
     return np.stack([img, np.roll(img, t, 0), 255 - img], -1)
 
 
-def build_kth_tree(root, n_videos=120, frames_per_video=120):
+def build_kth_tree(root, n_videos=120, frames_per_video=120, noise_amp=0):
     from PIL import Image
-    done = os.path.join(root, ".done_kth")
+    done = os.path.join(root, f".done_kth_n{noise_amp}")
     if os.path.exists(done):
         return
     print(f"building synthetic KTH tree under {root} "
-          f"({n_videos} videos x {frames_per_video} frames)...", flush=True)
+          f"({n_videos} videos x {frames_per_video} frames, "
+          f"noise_amp={noise_amp})...", flush=True)
     for i in range(n_videos):
         cls = KTH.classes[i % len(KTH.classes)]
         person = (i % 20) + 1  # persons 1-20 are the train split
@@ -58,24 +73,25 @@ def build_kth_tree(root, n_videos=120, frames_per_video=120):
                             f"person{person:02d}_{cls}_d{i:04d}")
         os.makedirs(vdir, exist_ok=True)
         for t in range(frames_per_video):
-            Image.fromarray(_frame(i, t)).save(
+            Image.fromarray(_frame(i, t, noise_amp=noise_amp)).save(
                 os.path.join(vdir, f"{t:03d}.png"))
     open(done, "w").close()
 
 
-def build_bair_tree(root, n_videos=256):
+def build_bair_tree(root, n_videos=256, noise_amp=0):
     from PIL import Image
-    done = os.path.join(root, ".done_bair")
+    done = os.path.join(root, f".done_bair_n{noise_amp}")
     if os.path.exists(done):
         return
     print(f"building synthetic BAIR tree under {root} "
-          f"({n_videos} videos x 30 frames)...", flush=True)
+          f"({n_videos} videos x 30 frames, noise_amp={noise_amp})...",
+          flush=True)
     for i in range(n_videos):
         vdir = os.path.join(root, "processed_data", "train",
                             f"traj_{i // 32}", f"{i % 32}")
         os.makedirs(vdir, exist_ok=True)
         for t in range(30):
-            Image.fromarray(_frame(i, t, rgb=True)).save(
+            Image.fromarray(_frame(i, t, rgb=True, noise_amp=noise_amp)).save(
                 os.path.join(vdir, f"{t:02d}.png"))
     open(done, "w").close()
 
@@ -117,11 +133,27 @@ def main():
     p.add_argument("--device_rate_bair", type=float, default=6900.0)
     p.add_argument("--n_batches", type=int, default=8)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--noise_amp", type=int, default=0,
+                   help="Per-pixel noise amplitude for the synthetic frames; "
+                        "~14 matches natural camera video PNG sizes "
+                        "(decode-realistic), 0 is clean rendered content.")
     args = p.parse_args()
 
-    os.makedirs(args.root, exist_ok=True)
-    build_kth_tree(args.root)
-    build_bair_tree(args.root)
+    root = args.root if args.noise_amp == 0 else (
+        f"{args.root.rstrip('/')}_n{args.noise_amp}")
+    os.makedirs(root, exist_ok=True)
+    args.root = root
+    build_kth_tree(args.root, noise_amp=args.noise_amp)
+    build_bair_tree(args.root, noise_amp=args.noise_amp)
+    sizes = []
+    for dirpath, _, files in os.walk(args.root):
+        sizes += [os.path.getsize(os.path.join(dirpath, f))
+                  for f in files if f.endswith(".png")]
+        if len(sizes) > 2000:
+            break
+    if sizes:
+        print(json.dumps({"png_bytes_per_frame_mean":
+                          round(float(np.mean(sizes)), 1)}), flush=True)
 
     configs = [
         ("kth", KTH.make_dataset(args.root, 64, 20, True), 100, 20,
