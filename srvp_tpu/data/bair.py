@@ -3,6 +3,13 @@
 Behavior parity with /root/reference/data/bair.py: processed_data/{train,test}
 directory trees; training picks a random 30-frame-window start, test starts
 at frame 0.
+
+Packed fast path: when `packed_data/{fold}/` exists (one raw uint8
+(30, 64, 64, 3) .npy per video, produced by preprocessing/bair/pack.py),
+loading is a memory-mapped window copy with no PNG decode — bit-identical
+pixels, an order of magnitude less host CPU per frame. The same
+file-per-video design the reference uses for Human3.6M
+(/root/reference/data/human.py:60-65).
 """
 
 import os
@@ -15,23 +22,30 @@ from srvp_tpu.data.base import VideoDataset
 
 
 class BAIR(VideoDataset):
-    def __init__(self, data, seq_len, train):
+    def __init__(self, data, seq_len, train, packed=False):
         assert seq_len <= 30
         self.data = data
         self.nx = 64
         self.nc = 3
         self.seq_len = seq_len
         self.train = train
+        self.packed = packed
 
     def change_seq_len(self, seq_len):
         self.seq_len = seq_len
 
     def _filter(self, data):
-        return BAIR(data, self.seq_len, self.train)
+        return BAIR(data, self.seq_len, self.train, packed=self.packed)
+
+    def _window_start(self, rng):
+        return rng.randint(30 - self.seq_len + 1) if self.train else 0
 
     def get_item(self, index, rng=None):
+        t0 = self._window_start(rng) if self.train else 0
+        if self.packed:
+            vid = np.load(self.data[index], mmap_mode="r")
+            return np.array(vid[t0:t0 + self.seq_len])
         vid = self.data[index]
-        t0 = rng.randint(30 - self.seq_len + 1) if self.train else 0
         x = np.zeros((self.seq_len, self.nx, self.nx, self.nc), dtype=np.uint8)
         for t in range(self.seq_len):
             x[t] = np.array(Image.open(vid[t0 + t]))
@@ -53,6 +67,8 @@ class BAIR(VideoDataset):
         """Native input service: one C++ decode pass for the whole batch's
         frame files (native/png_decode.cpp); None when the native library
         is unavailable."""
+        if self.packed:
+            return None  # the timemajor path below covers packed batches
         from srvp_tpu.native import decode_png_batch
         paths = self._batch_paths(indices, seeds)
         arr = decode_png_batch(paths, self.nx, self.nx, self.nc, n_threads)
@@ -62,9 +78,19 @@ class BAIR(VideoDataset):
                            self.nc)
 
     def get_batch_timemajor_u8(self, indices, seeds, n_threads=4):
-        """Fully-collated native batch: decodes straight into the
+        """Fully-collated native batch: frames land straight in the
         (T, B, H, W, C) uint8 layout collate_uint8 would produce — zero
-        host-side restacking. None -> caller falls back."""
+        host-side restacking. Packed videos are mmapped window copies (no
+        decode); PNG trees go through the C++ decoder. None -> caller
+        falls back."""
+        if self.packed:
+            out = np.empty((self.seq_len, len(indices), self.nx, self.nx,
+                            self.nc), np.uint8)
+            for b, (idx, seed) in enumerate(zip(indices, seeds)):
+                t0 = self._window_start(np.random.RandomState(seed))
+                vid = np.load(self.data[idx], mmap_mode="r")
+                out[:, b] = vid[t0:t0 + self.seq_len]
+            return out
         from srvp_tpu.native import decode_png_timemajor
         paths = self._batch_paths(indices, seeds)
         return decode_png_timemajor(paths, len(indices), self.seq_len,
@@ -72,7 +98,19 @@ class BAIR(VideoDataset):
 
     @classmethod
     def make_dataset(cls, data_dir, seq_len, train):
-        root = join(data_dir, "processed_data", "train" if train else "test")
+        fold = "train" if train else "test"
+        packed_root = join(data_dir, "packed_data", fold)
+        if os.path.isdir(packed_root):
+            # same nested sorted walk as the PNG tree, so the video order
+            # (and the seed-42 fold split downstream) is format-invariant
+            data = [join(packed_root, d1, f)
+                    for d1 in sorted(os.listdir(packed_root))
+                    for f in sorted(os.listdir(join(packed_root, d1)),
+                                    key=lambda f: os.path.splitext(f)[0])
+                    if f.endswith(".npy")]
+            if data:
+                return cls(data, seq_len, train, packed=True)
+        root = join(data_dir, "processed_data", fold)
         data = []
         for d1 in sorted(os.listdir(root)):
             for d2 in sorted(os.listdir(join(root, d1))):
