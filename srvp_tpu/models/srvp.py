@@ -27,6 +27,7 @@ when observed else p(z|y).
 """
 
 import dataclasses
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -151,10 +152,19 @@ def encode(cfg, params, state, x, *, train, rng=None):
             # the KTH step — and per-row dynamic slices don't batch.)
             t = jax.random.randint(rng, (bsz,), 0, nt)
             onehot = jax.nn.one_hot(t, nt)
-            for s in skips:
-                s = s.reshape((bsz, nt) + s.shape[1:])
-                m = onehot.reshape((bsz, nt) + (1,) * (s.ndim - 2))
-                out_skips.append((s * m.astype(s.dtype)).sum(axis=1))
+            if os.environ.get("SRVP_SKIP_SELECT") == "einsum":
+                # experiment: contract the frame axis on the MXU instead of
+                # mask+reduce on the VPU (perf experiment, bit-compatible:
+                # one nonzero product per output)
+                for s in skips:
+                    s = s.reshape((bsz, nt) + s.shape[1:])
+                    out_skips.append(jnp.einsum(
+                        "bt,bt...->b...", onehot.astype(s.dtype), s))
+            else:
+                for s in skips:
+                    s = s.reshape((bsz, nt) + s.shape[1:])
+                    m = onehot.reshape((bsz, nt) + (1,) * (s.ndim - 2))
+                    out_skips.append((s * m.astype(s.dtype)).sum(axis=1))
         else:
             for s in skips:
                 out_skips.append(s.reshape((bsz, nt) + s.shape[1:])[:, -1])

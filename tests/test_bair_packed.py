@@ -97,3 +97,25 @@ def test_test_fold_starts_at_zero(tree):
     item = packed.get_item(0)
     raw = np.load(packed.data[0])
     np.testing.assert_array_equal(item, raw[:9])
+
+
+def test_train_cli_on_packed_tree(tree, tmp_path):
+    """train.py end to end with the packed loader path active (auto-detected
+    packed_data/ — the production BAIR input service after pack.py)."""
+    from srvp_tpu import args as args_mod
+    from srvp_tpu.helper import DotDict
+    from srvp_tpu.train_main import main as train_main
+
+    xp_dir = tmp_path / "xp"
+    argv = (f"--save_path {xp_dir} --dataset bair --data_dir {tree} "
+            "--archi vgg --skipco --ny 4 --nz 4 --nt_cond 2 "
+            "--nt_inf 2 --nc 3 --seq_len 5 --seed 9 "
+            "--nf 4 --nhx 8 --nh_inf 8 --nlayers_inf 2 --nh_res 16 "
+            "--nlayers_res 2 --batch_size 8 --batch_size_test 8 --n_iter 2 "
+            "--val_interval 4 --n_iter_test 1 --n_samples_test 2 "
+            "--val_samples_chunk 2 --log_interval 2 --n_workers 2").split()
+    opt = DotDict(vars(args_mod.create_args().parse_args(argv)))
+    from srvp_tpu.data.base import load_dataset
+    assert load_dataset(opt, True).packed
+    assert train_main(opt) == 0
+    assert (xp_dir / "model.npz").exists()
