@@ -3,6 +3,12 @@
 Behavior parity with /root/reference/data/kth.py: train uses persons 1-20
 from processed_{nx}/{action}/{video}/*.png with a random temporal crop; test
 loads svg_test_set_{seq_len}.npz. Greyscale: only the first channel is kept.
+
+Packed fast path: when `packed_{nx}/` exists (one raw uint8 (T, nx, nx)
+.npy per video, produced by preprocessing/kth/pack.py), window loading is
+a memory-mapped copy with no PNG decode — identical pixels, enumeration
+order, fold splits, and window draws. Train-fold data entries are then
+(path, n_frames) tuples instead of frame-path lists.
 """
 
 import os
@@ -17,17 +23,18 @@ from srvp_tpu.data.base import VideoDataset
 class KTH(VideoDataset):
     classes = ["boxing", "handclapping", "handwaving", "jogging", "running", "walking"]
 
-    def __init__(self, data, nx, seq_len, train):
+    def __init__(self, data, nx, seq_len, train, packed=False):
         self.data = data
         self.nx = nx
         self.seq_len = seq_len
         self.train = train
+        self.packed = packed
 
     def change_seq_len(self, seq_len):
         self.seq_len = seq_len
 
     def _filter(self, data):
-        return KTH(data, self.nx, self.seq_len, self.train)
+        return KTH(data, self.nx, self.seq_len, self.train, packed=self.packed)
 
     def __len__(self):
         return 500000 if self.train else len(self.data)
@@ -36,11 +43,17 @@ class KTH(VideoDataset):
         if not self.train:
             return self.data[index]
         vid, t0 = self._sample_window(rng)
+        if self.packed:
+            return np.array(np.load(vid[0], mmap_mode="r")
+                            [t0:t0 + self.seq_len])
         x = np.zeros((self.seq_len, self.nx, self.nx), dtype=np.uint8)
         for t in range(self.seq_len):
             frame = np.array(Image.open(vid[t0 + t]))
             x[t] = frame[:, :, 0] if frame.ndim == 3 else frame
         return x
+
+    def _video_len(self, vid):
+        return vid[1] if self.packed else len(vid)
 
     def _sample_window(self, rng):
         """Random video + temporal crop; draw order matches get_item so the
@@ -48,9 +61,9 @@ class KTH(VideoDataset):
         assert rng is not None
         while True:
             vid = self.data[rng.randint(len(self.data))]
-            if len(vid) >= self.seq_len:
+            if self._video_len(vid) >= self.seq_len:
                 break
-        t0 = rng.randint(len(vid) - self.seq_len + 1)
+        t0 = rng.randint(self._video_len(vid) - self.seq_len + 1)
         return vid, t0
 
     def _batch_paths(self, indices, seeds):
@@ -70,6 +83,8 @@ class KTH(VideoDataset):
         """Native input service: one C++ decode pass for the whole batch's
         frame files (native/png_decode.cpp); returns None (fall back to
         Python) when the native library is unavailable."""
+        if self.packed:
+            return None  # the timemajor path below covers packed batches
         from srvp_tpu.native import decode_png_batch
         paths = self._batch_paths(indices, seeds)
         if paths is None:
@@ -80,9 +95,21 @@ class KTH(VideoDataset):
         return arr.reshape(len(seeds), self.seq_len, self.nx, self.nx)
 
     def get_batch_timemajor_u8(self, indices, seeds, n_threads=4):
-        """Fully-collated native batch: decodes straight into the
+        """Fully-collated native batch: frames land straight in the
         (T, B, H, W, 1) uint8 layout collate_uint8 would produce — zero
-        host-side restacking. None -> caller falls back."""
+        host-side restacking. Packed videos are mmapped window copies (no
+        decode); PNG trees go through the C++ decoder. None -> caller
+        falls back."""
+        if not self.train:
+            return None
+        if self.packed:
+            out = np.empty((self.seq_len, len(seeds), self.nx, self.nx, 1),
+                           np.uint8)
+            for b, seed in enumerate(seeds):
+                vid, t0 = self._sample_window(np.random.RandomState(seed))
+                out[:, b, :, :, 0] = np.load(vid[0], mmap_mode="r")[
+                    t0:t0 + self.seq_len]
+            return out
         from srvp_tpu.native import decode_png_timemajor
         paths = self._batch_paths(indices, seeds)
         if paths is None:
@@ -93,6 +120,25 @@ class KTH(VideoDataset):
     @classmethod
     def make_dataset(cls, data_dir, nx, seq_len, train):
         if train:
+            packed_root = join(data_dir, f"packed_{nx}")
+            if os.path.isdir(packed_root):
+                data = []
+                for c in cls.classes:
+                    cdir = join(packed_root, c)
+                    if not os.path.isdir(cdir):
+                        continue
+                    for f in sorted(os.listdir(cdir),
+                                    key=lambda f: os.path.splitext(f)[0]):
+                        if not f.endswith(".npy"):
+                            continue
+                        # persons 21-25 are reserved for the test set
+                        if int(f.split("_")[0][-2:]) > 20:
+                            continue
+                        path = join(cdir, f)
+                        n = len(np.load(path, mmap_mode="r"))
+                        data.append((path, n))
+                if data:
+                    return cls(data, nx, seq_len, train, packed=True)
             root = join(data_dir, f"processed_{nx}")
             data = []
             for c in cls.classes:
