@@ -96,7 +96,7 @@ def build_bair_tree(root, n_videos=256, noise_amp=0):
     open(done, "w").close()
 
 
-def ds_png_data(root):
+def bair_png_data(root):
     """BAIR PNG video list (the non-packed enumeration), for the PNG legs
     once packed_data/ exists."""
     base = os.path.join(root, "processed_data", "train")
@@ -105,6 +105,24 @@ def ds_png_data(root):
                    if f.endswith(".png"))
             for d1 in sorted(os.listdir(base))
             for d2 in sorted(os.listdir(os.path.join(base, d1)))]
+
+
+def kth_png_data(root):
+    """KTH PNG video list (the non-packed enumeration), for the PNG legs
+    once packed_{nx} exists."""
+    base = os.path.join(root, "processed_64")
+    data = []
+    for c in KTH.classes:
+        cdir = os.path.join(base, c)
+        if not os.path.isdir(cdir):
+            continue
+        for vid in sorted(os.listdir(cdir)):
+            vdir = os.path.join(cdir, vid)
+            if os.path.isdir(vdir) and int(vid.split("_")[0][-2:]) <= 20:
+                data.append(sorted(os.path.join(vdir, f)
+                                   for f in os.listdir(vdir)
+                                   if f.endswith(".png")))
+    return data
 
 
 def bench(dataset, batch, seq_len, n_batches, num_workers, native):
@@ -166,40 +184,36 @@ def main():
         print(json.dumps({"png_bytes_per_frame_mean":
                           round(float(np.mean(sizes)), 1)}), flush=True)
 
-    # packed BAIR: coalesce the PNG tree into per-video raw .npy once, then
-    # measure the mmap fast path next to the PNG-decode paths
+    # packed trees: coalesce the PNG trees into per-video raw .npy once,
+    # then measure the mmap fast paths next to the PNG-decode paths
     from preprocessing.bair.pack import pack_fold
+    from preprocessing.kth.pack import pack_tree
     pack_fold(args.root, "train")
+    pack_tree(args.root)
+
+    kth_packed = KTH.make_dataset(args.root, 64, 20, True)
+    bair_packed = BAIR.make_dataset(args.root, 30, True)
+    assert kth_packed.packed and bair_packed.packed
+    kth_png = KTH(kth_png_data(args.root), 64, 20, True)
+    bair_png = BAIR(bair_png_data(args.root), 30, True)
 
     configs = [
-        ("kth", KTH.make_dataset(args.root, 64, 20, True), 100, 20,
-         args.device_rate_kth),
-        ("bair", BAIR.make_dataset(args.root, 30, True), 192, 30,
-         args.device_rate_bair),
+        ("kth", kth_png, kth_packed, 100, 20, args.device_rate_kth),
+        ("bair", bair_png, bair_packed, 192, 30, args.device_rate_bair),
     ]
-    assert configs[1][1].packed, "pack_fold should enable the packed path"
-    for name, ds, batch, seq_len, device_rate in configs:
+    for name, png_ds, packed_ds, batch, seq_len, device_rate in configs:
         row = {"metric": f"loader_frames_per_sec_{name}",
                "unit": "frames/s", "batch": batch, "seq_len": seq_len,
                "device_rate": device_rate,
                "host_cpus": os.cpu_count()}
-        if name == "bair":
-            # the PNG legs, measured with packed_data hidden
-            png_ds = BAIR(ds_png_data(args.root), seq_len, True)
-            for native in (False, True):
-                fps = bench(png_ds, batch, seq_len, args.n_batches,
-                            args.workers, native)
-                row["value" if native else "pil_value"] = round(fps, 1)
-            row["packed_value"] = round(
-                bench(ds, batch, seq_len, args.n_batches, args.workers,
-                      native=True), 1)
-            best = row["packed_value"]
-        else:
-            for native in (False, True):
-                fps = bench(ds, batch, seq_len, args.n_batches, args.workers,
-                            native)
-                row["value" if native else "pil_value"] = round(fps, 1)
-            best = row["value"]
+        for native in (False, True):
+            fps = bench(png_ds, batch, seq_len, args.n_batches,
+                        args.workers, native)
+            row["value" if native else "pil_value"] = round(fps, 1)
+        row["packed_value"] = round(
+            bench(packed_ds, batch, seq_len, args.n_batches, args.workers,
+                  native=True), 1)
+        best = row["packed_value"]
         row["vs_device_rate"] = round(best / device_rate, 2)
         row["feeds_device_1.2x"] = best >= 1.2 * device_rate
         print(json.dumps(row), flush=True)
