@@ -12,6 +12,7 @@ wrapper module needed.
 """
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -140,10 +141,14 @@ def conv_block_apply(params, state, spec, x, train, skip=None, nt=None):
     time-replicated skip tensor to the input channels
     (/root/reference/module/conv.py:266-271). Since convolution is linear in
     the channel concat, conv([x ; tile(skip, nt)], W) ==
-    conv(x, W[:, :, :cx]) + broadcast_t(conv(skip, W[:, :, cx:])), so the
-    skip half is convolved ONCE per video instead of nt times and the
-    broadcast-add fuses into the conv epilogue (no (nt*B, H, W, C) skip
-    tensor is ever written to HBM). x: (nt*B, h, w, cx); skip: (B, h, w, cs).
+    conv(x, W[:, :, :cx]) + tile_t(conv(skip, W[:, :, cx:])), so the
+    skip half is convolved ONCE per video instead of nt times. The tile-add
+    itself runs as a one-hot matmul on the folded batch axis (see the
+    SRVP_SKIP_ADD branch below): the earlier (bsz, nt, ...) reshape +
+    broadcast formulation materialized the time-tiled tensor AND paid a
+    relayout copy each way under XLA's batch-minor conv layout (round-4
+    KTH profile: ~18 ms/step across the decoder skip sites).
+    x: (nt*B, h, w, cx); skip: (B, h, w, cs).
     """
     W = params["conv"]["kernel"]
     if spec.kind == "conv":
@@ -160,10 +165,21 @@ def conv_block_apply(params, state, spec, x, train, skip=None, nt=None):
         h = conv(x, W[:, :, :cx], spec.stride, spec.padding)
         hs = conv(skip.astype(x.dtype), W[:, :, cx:], spec.stride, spec.padding)
         bsz = skip.shape[0]
-        # h's folded batch is batch-major (b*nt + t), see srvp.encode; the
-        # (bsz, nt) split keeps the sharded example dim the major partner
-        # so GSPMD can partition this add.
-        h = (h.reshape((bsz, nt) + h.shape[1:]) + hs[:, None]).reshape(h.shape)
+        if os.environ.get("SRVP_SKIP_ADD", "foldmm") == "foldmm":
+            # Tile-add on the FOLDED batch axis via a one-hot matmul:
+            # h[q] += T[q, q//nt] hs[q//nt]. Avoids the (bsz, nt, ...)
+            # reshape of h, which under XLA's batch-minor conv layout is a
+            # relayout copy each way plus a materialized
+            # (bsz, nt, h, w, c) broadcast (measured ~18 ms/step across
+            # the KTH decoder skip sites). One nonzero product per output
+            # => bit-equal to the broadcast-add.
+            tile = jax.nn.one_hot(jnp.arange(h.shape[0]) // nt, bsz)
+            h = h + jnp.einsum("qb,b...->q...", tile.astype(h.dtype), hs)
+        else:
+            # h's folded batch is batch-major (b*nt + t), see srvp.encode;
+            # the (bsz, nt) split keeps the sharded example dim the major
+            # partner so GSPMD can partition this add.
+            h = (h.reshape((bsz, nt) + h.shape[1:]) + hs[:, None]).reshape(h.shape)
     # Residual-policy tag: under the stage checkpoint (models/conv.py
     # _stage_apply) only conv outputs and BN stats are saved for backward;
     # BN-normalized/activated/pooled tensors are recomputed elementwise.

@@ -152,19 +152,43 @@ def encode(cfg, params, state, x, *, train, rng=None):
             # the KTH step — and per-row dynamic slices don't batch.)
             t = jax.random.randint(rng, (bsz,), 0, nt)
             onehot = jax.nn.one_hot(t, nt)
-            if os.environ.get("SRVP_SKIP_SELECT") == "einsum":
+            sel_mode = os.environ.get("SRVP_SKIP_SELECT", "foldmm")
+            if sel_mode == "einsum":
                 # experiment: contract the frame axis on the MXU instead of
                 # mask+reduce on the VPU (perf experiment, bit-compatible:
-                # one nonzero product per output)
+                # one nonzero product per output). Measured neutral vs
+                # mask-sum (291.5 vs 291.3 ms KTH step) — XLA lowers the
+                # batched matvec to the same mul+reduce after the 5-D
+                # reshape, which is where the cost actually lives.
                 for s in skips:
                     s = s.reshape((bsz, nt) + s.shape[1:])
                     out_skips.append(jnp.einsum(
                         "bt,bt...->b...", onehot.astype(s.dtype), s))
+            elif sel_mode == "foldmm":
+                # Select directly on the FOLDED batch axis with a one-hot
+                # matmul: out[b] = sum_q S[b, q] s[q] with
+                # S[b, b*nt+t_b] = 1. No (bsz, nt, ...) reshape of the big
+                # activation — that reshape is NOT a bitcast under XLA's
+                # batch-minor conv layout and costs a full relayout copy
+                # each way (measured ~11 ms/step at the 64x64x64 site on
+                # KTH). One nonzero product per output => bit-equal to the
+                # mask+reduce path.
+                sel = jax.nn.one_hot(jnp.arange(bsz) * nt + t, bsz * nt)
+                for s in skips:
+                    out_skips.append(
+                        jnp.einsum("bq,q...->b...", sel.astype(s.dtype), s))
             else:
                 for s in skips:
                     s = s.reshape((bsz, nt) + s.shape[1:])
                     m = onehot.reshape((bsz, nt) + (1,) * (s.ndim - 2))
                     out_skips.append((s * m.astype(s.dtype)).sum(axis=1))
+        elif os.environ.get("SRVP_SKIP_SELECT", "foldmm") == "foldmm":
+            # Eval: last frame per video, same folded-axis one-hot matmul as
+            # the training select (static indices b*nt + nt-1).
+            sel = jax.nn.one_hot(jnp.arange(bsz) * nt + (nt - 1), bsz * nt)
+            for s in skips:
+                out_skips.append(
+                    jnp.einsum("bq,q...->b...", sel.astype(s.dtype), s))
         else:
             for s in skips:
                 out_skips.append(s.reshape((bsz, nt) + s.shape[1:])[:, -1])
