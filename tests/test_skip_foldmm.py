@@ -68,3 +68,53 @@ def test_foldmm_matches_mask(archi, train, monkeypatch):
         flat_mm, _ = jax.tree_util.tree_flatten(g_mm)
         for a, b in zip(flat_mask, flat_mm):
             np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4)
+
+
+def _collective_counts(hlo):
+    """Collective OP DEFINITIONS with their shapes (plain substring counts
+    also pick up op_name metadata mentions, which differ meaninglessly)."""
+    import collections
+    import re
+    ops = re.findall(
+        r"= (\S+) ((?:all-gather|all-reduce|collective-permute|all-to-all|"
+        r"reduce-scatter)[\w-]*)\(", hlo)
+    return collections.Counter((op, shape) for shape, op in ops)
+
+
+def test_foldmm_adds_no_collectives(monkeypatch):
+    """SPMD contract for the folded-axis one-hot matmuls: contracting over
+    the full folded batch axis must NOT make GSPMD gather the sharded
+    activations — the partitioned train step's collective inventory is
+    identical to the mask/broadcast formulation's (docs/DESIGN.md
+    "Round-4 skip-path rewrite", SPMD check)."""
+    import numpy as np
+    from srvp_tpu import train_lib
+    from srvp_tpu.parallel import make_mesh, replicated, shard_batch
+
+    cfg = CFGS["vgg"]
+    hp = train_lib.TrainHParams(oversampling=2, nt_cond=2)
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 8, 64, 64, 1)
+                    .astype(np.float32))
+    mesh = make_mesh(8)
+
+    def lower(mode):
+        monkeypatch.setenv("SRVP_SKIP_SELECT", mode)
+        monkeypatch.setenv("SRVP_SKIP_ADD", mode)
+        ts = train_lib.init_train_state(jax.random.PRNGKey(0), cfg, hp)
+        ts = jax.device_put(ts, replicated(mesh))
+        step = train_lib.make_train_step(cfg, hp)
+        return step.lower(ts, shard_batch(mesh, x)).compile().as_text()
+
+    counts_mm = _collective_counts(lower("foldmm"))
+    counts_mask = _collective_counts(lower("mask"))
+    assert counts_mm == counts_mask, (counts_mm, counts_mask)
+
+    # ... and none of them is activation-sized: the encoder hx tensors at
+    # this config are bsz*nt*16*16*nf = 8192+ elements; the only expected
+    # collectives are tiny hx/latent-sized gathers.
+    import re
+    for op, shape in counts_mm:
+        dims = re.search(r"\[([\d,]*)\]", shape)
+        n = np.prod([int(d) for d in dims.group(1).split(",") if d]) \
+            if dims and dims.group(1) else 1
+        assert n < 8192, f"activation-sized collective {op} {shape}"
