@@ -12,6 +12,7 @@ wrapper module needed.
 """
 
 import dataclasses
+import functools
 import os
 
 import jax
@@ -58,6 +59,51 @@ def bn_init(key, num_features, scale_std=None):
     return params, state
 
 
+def _bn_stats_fwd(x, reduce_axes):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=reduce_axes)
+    var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+    return mean, var
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _bn_stats_affine_vjp(x, reduce_axes):
+    """Batch mean/var with a hand-written backward: dx is the closed-form
+    per-channel affine  x*a + b  with a = 2 g_var / n and
+    b = (g_mean - 2 g_var mean) / n, evaluated in x.dtype after folding the
+    f32 per-channel scalars.
+
+    Why: autodiff of the f32-upcast stats materializes f32 cotangents of
+    activation size (the `d mean(xf)` / `d mean(xf^2)` pieces), doubling the
+    HBM traffic of the stats-backward under bf16 compute. This VJP is one
+    elementwise pass in compute dtype. Mathematically identical to the
+    autodiff formula (same reassociation class); under bf16 the per-channel
+    scalar fold rounds once per channel instead of per element. Experiment
+    flag: SRVP_BN_STATS=affine_vjp (perf A/B; default keeps autodiff).
+    """
+    return _bn_stats_fwd(x, reduce_axes)
+
+
+def _bn_stats_affine_fwd(x, reduce_axes):
+    mean, var = _bn_stats_fwd(x, reduce_axes)
+    return (mean, var), (x, mean)
+
+
+def _bn_stats_affine_bwd(reduce_axes, res, g):
+    x, mean = res
+    g_mean, g_var = g                      # f32, per-channel
+    n = 1
+    for ax in reduce_axes:
+        n *= x.shape[ax]
+    a = (2.0 / n) * g_var
+    b = g_mean / n - a * mean
+    dx = x * a.astype(x.dtype) + b.astype(x.dtype)
+    return (dx,)
+
+
+_bn_stats_affine_vjp.defvjp(_bn_stats_affine_fwd, _bn_stats_affine_bwd)
+
+
 def bn_apply(params, state, x, train):
     """Batch norm over all axes but the last. Returns (y, new_state).
 
@@ -67,9 +113,10 @@ def bn_apply(params, state, x, train):
     """
     reduce_axes = tuple(range(x.ndim - 1))
     if train:
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=reduce_axes)
-        var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+        if os.environ.get("SRVP_BN_STATS") == "affine_vjp":
+            mean, var = _bn_stats_affine_vjp(x, reduce_axes)
+        else:
+            mean, var = _bn_stats_fwd(x, reduce_axes)
         mean = checkpoint_name(mean, "bn_stats")
         var = checkpoint_name(var, "bn_stats")
         n = 1

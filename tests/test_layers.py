@@ -111,3 +111,30 @@ class TestLSTM:
         ours = lstmlib.lstm_apply(params, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(ours), ref.detach().numpy(),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_bn_stats_affine_vjp_matches_autodiff(monkeypatch):
+    """SRVP_BN_STATS=affine_vjp (closed-form stats backward, one elementwise
+    pass in compute dtype — perf experiment for the bf16 BN-backward
+    traffic) must produce the same loss and gradients as the autodiff
+    default, up to f32 reassociation noise."""
+    import os
+    import numpy as np
+    from srvp_tpu.models import layers
+
+    x = jnp.asarray(np.random.RandomState(0).randn(40, 8, 8, 6)
+                    .astype(np.float32))
+    params, state = layers.bn_init(jax.random.PRNGKey(0), 6, scale_std=0.02)
+
+    def loss(x):
+        y, ns = layers.bn_apply(params, state, x, train=True)
+        return (jnp.sum(jnp.sin(y) * y ** 2) + jnp.sum(ns["mean"] ** 2)
+                + jnp.sum(ns["var"] ** 2))
+
+    monkeypatch.delenv("SRVP_BN_STATS", raising=False)
+    v0, g0 = jax.value_and_grad(loss)(x)
+    monkeypatch.setenv("SRVP_BN_STATS", "affine_vjp")
+    v1, g1 = jax.value_and_grad(loss)(x)
+    assert float(v1) == float(v0)  # forward path is shared code
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=1e-5)
