@@ -46,20 +46,41 @@ def pack_fold(data_dir, fold, delete_png=False):
             frames = sorted(f for f in os.listdir(vdir)
                             if os.path.splitext(f)[1] == ".png")
             if not frames:
-                continue
+                # A frameless video dir would make the packed tree enumerate
+                # differently from the PNG tree (different seed-42 fold
+                # split) — refuse to pack a corrupt source.
+                raise ValueError(f"no PNG frames in {vdir}; source tree is "
+                                 "incomplete, refusing to pack")
             video = np.stack([np.array(Image.open(join(vdir, f)))
                               for f in frames]).astype(np.uint8)
             os.makedirs(join(dst, d1), exist_ok=True)
             out = join(dst, d1, f"{d2}.npy")
-            np.save(out + ".tmp.npy", video)
-            os.replace(out + ".tmp.npy", out)
+            # tmp name must NOT end in .npy (make_dataset would enumerate a
+            # crash leftover as a video); np.save appends .npy to bare
+            # names, so write through an open file object.
+            with open(out + ".tmp", "wb") as f:
+                np.save(f, video)
+            os.replace(out + ".tmp", out)
             if delete_png:
                 for f in frames:
                     os.remove(join(vdir, f))
             n += 1
             if n % 200 == 0:
                 print(f"  {fold}: {n} videos packed", flush=True)
+    if n:
+        write_marker(dst, n)
     return n
+
+
+def write_marker(dst, n):
+    """Completion marker: srvp_tpu.data only trusts a packed tree that has
+    one and whose video count matches (an interrupted pack run must never
+    silently shrink the dataset or shift the fold split)."""
+    import json
+    tmp = join(dst, "COMPLETE.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"videos": n}, f)
+    os.replace(tmp, join(dst, "COMPLETE.json"))
 
 
 def main():

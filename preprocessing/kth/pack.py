@@ -45,20 +45,31 @@ def pack_tree(data_dir, nx=64, delete_png=False):
             frames = sorted(f for f in os.listdir(vdir)
                             if os.path.splitext(f)[1] == ".png")
             if not frames:
-                continue
+                # A frameless video dir would make the packed tree enumerate
+                # differently from the PNG tree — refuse to pack a corrupt
+                # source (see preprocessing/bair/pack.py).
+                raise ValueError(f"no PNG frames in {vdir}; source tree is "
+                                 "incomplete, refusing to pack")
             video = np.empty((len(frames), nx, nx), np.uint8)
             for t, f in enumerate(frames):
                 frame = np.array(Image.open(join(vdir, f)))
                 video[t] = frame[:, :, 0] if frame.ndim == 3 else frame
             out = join(dst, c, f"{vid}.npy")
-            np.save(out + ".tmp.npy", video)
-            os.replace(out + ".tmp.npy", out)
+            # tmp name must NOT end in .npy (make_dataset would enumerate a
+            # crash leftover); np.save appends .npy to bare names, so write
+            # through an open file object.
+            with open(out + ".tmp", "wb") as f:
+                np.save(f, video)
+            os.replace(out + ".tmp", out)
             if delete_png:
                 for f in frames:
                     os.remove(join(vdir, f))
             n += 1
             if n % 100 == 0:
                 print(f"  {n} videos packed", flush=True)
+    if n:
+        from preprocessing.bair.pack import write_marker
+        write_marker(dst, n)
     return n
 
 

@@ -44,14 +44,15 @@ def _frame(i, t, rgb=False, noise_amp=0):
     img = ((np.sin(x / 9.0 + i * 0.7 + t * 0.13)
             + np.cos(y / 7.0 + t * 0.11)) * 55 + 120)
     if noise_amp:
+        # Noise frames are deliberately gray-based (same luma in all three
+        # RGB channels) + independent per-channel noise: the knob calibrates
+        # PNG IDAT size to natural camera footage, which is what sets decode
+        # cost — not the clean path's stylized distinct-channel content.
         rng = np.random.RandomState(i * 1000 + t)
         shape = (64, 64, 3) if rgb else (64, 64)
         noisy = img[..., None] if rgb else img
-        out = np.clip(noisy + rng.randint(-noise_amp, noise_amp + 1, shape),
-                      0, 255).astype(np.uint8)
-        if rgb:
-            return out
-        return out
+        return np.clip(noisy + rng.randint(-noise_amp, noise_amp + 1, shape),
+                       0, 255).astype(np.uint8)
     img = img.astype(np.uint8)
     if not rgb:
         return img
@@ -94,35 +95,6 @@ def build_bair_tree(root, n_videos=256, noise_amp=0):
             Image.fromarray(_frame(i, t, rgb=True, noise_amp=noise_amp)).save(
                 os.path.join(vdir, f"{t:02d}.png"))
     open(done, "w").close()
-
-
-def bair_png_data(root):
-    """BAIR PNG video list (the non-packed enumeration), for the PNG legs
-    once packed_data/ exists."""
-    base = os.path.join(root, "processed_data", "train")
-    return [sorted(os.path.join(base, d1, d2, f)
-                   for f in os.listdir(os.path.join(base, d1, d2))
-                   if f.endswith(".png"))
-            for d1 in sorted(os.listdir(base))
-            for d2 in sorted(os.listdir(os.path.join(base, d1)))]
-
-
-def kth_png_data(root):
-    """KTH PNG video list (the non-packed enumeration), for the PNG legs
-    once packed_{nx} exists."""
-    base = os.path.join(root, "processed_64")
-    data = []
-    for c in KTH.classes:
-        cdir = os.path.join(base, c)
-        if not os.path.isdir(cdir):
-            continue
-        for vid in sorted(os.listdir(cdir)):
-            vdir = os.path.join(cdir, vid)
-            if os.path.isdir(vdir) and int(vid.split("_")[0][-2:]) <= 20:
-                data.append(sorted(os.path.join(vdir, f)
-                                   for f in os.listdir(vdir)
-                                   if f.endswith(".png")))
-    return data
 
 
 def bench(dataset, batch, seq_len, n_batches, num_workers, native):
@@ -194,8 +166,10 @@ def main():
     kth_packed = KTH.make_dataset(args.root, 64, 20, True)
     bair_packed = BAIR.make_dataset(args.root, 30, True)
     assert kth_packed.packed and bair_packed.packed
-    kth_png = KTH(kth_png_data(args.root), 64, 20, True)
-    bair_png = BAIR(bair_png_data(args.root), 30, True)
+    # the PNG legs: same datasets, packed detection bypassed
+    kth_png = KTH.make_dataset(args.root, 64, 20, True, prefer_packed=False)
+    bair_png = BAIR.make_dataset(args.root, 30, True, prefer_packed=False)
+    assert not kth_png.packed and not bair_png.packed
 
     configs = [
         ("kth", kth_png, kth_packed, 100, 20, args.device_rate_kth),

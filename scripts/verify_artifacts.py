@@ -124,12 +124,10 @@ def check_checkpoint(xp_dir):
     """A released model dir: config.json + model.pt convert cleanly and the
     converted pytree matches the freshly-initialized model structure."""
     import jax
-    from srvp_tpu.helper import load_json
+    from srvp_tpu.helper import DotDict, load_json
     from srvp_tpu.models import srvp
-    from srvp_tpu.models.srvp import SRVPConfig
     from srvp_tpu.train_main import model_config
     from srvp_tpu.utils.torch_convert import convert_state_dict
-    from srvp_tpu.helper import DotDict
 
     cfg_path = os.path.join(xp_dir, "config.json")
     pt_candidates = sorted(glob.glob(os.path.join(xp_dir, "*.pt")))
@@ -156,9 +154,12 @@ def check_checkpoint(xp_dir):
     return f"{os.path.basename(pt_candidates[0])}: {n} tensors, archi={cfg.archi}"
 
 
-def check_video_npz(path, min_len, nx=64):
-    """sequences array: (T, N, H, W) time-major [smmnist] or (N, T, H, W[,C])
-    video-major [KTH]; uint8."""
+def check_video_npz(path, min_len, time_axis, nx=64):
+    """sequences array: (T, N, H, W) time-major [smmnist, time_axis=0] or
+    (N, T, H, W[,C]) video-major [KTH, time_axis=1]; uint8. The protocol
+    length constrains the TIME dim specifically — checking "either leading
+    dim" would be vacuous on real drops, where the video count (1000-5000)
+    always exceeds min_len."""
     with np.load(path, allow_pickle=True) as arc:
         if "sequences" not in arc.files:
             raise Invalid(f"missing 'sequences' (have {arc.files})")
@@ -169,9 +170,9 @@ def check_video_npz(path, min_len, nx=64):
         raise Invalid(f"sequences ndim {seq.ndim}, expected 4 or 5")
     if nx not in seq.shape[2:4]:
         raise Invalid(f"sequences shape {seq.shape}: no {nx}px spatial dim")
-    if max(seq.shape[0], seq.shape[1]) < min_len and min(
-            seq.shape[0], seq.shape[1]) < min_len:
-        raise Invalid(f"sequences shape {seq.shape}: shorter than protocol "
+    if seq.shape[time_axis] < min_len:
+        raise Invalid(f"sequences shape {seq.shape}: time dim "
+                      f"{seq.shape[time_axis]} shorter than protocol "
                       f"length {min_len}")
     return f"sequences {seq.shape} {seq.dtype}"
 
@@ -235,11 +236,11 @@ def discover(drop):
              check_lpips_lin),
             ("i3d-kinetics400", "i3d/i3d_kinetics400.npz", check_i3d),
             ("smmnist-test-set", "datasets/smmnist_test_2digits_64.npz",
-             lambda p: check_video_npz(p, min_len=25)),
+             lambda p: check_video_npz(p, min_len=25, time_axis=0)),
             ("mmnist-det-test-set", "datasets/mmnist_test_2digits_64.npz",
-             lambda p: check_video_npz(p, min_len=100)),
+             lambda p: check_video_npz(p, min_len=100, time_axis=0)),
             ("kth-test-set", "datasets/svg_test_set_40.npz",
-             lambda p: check_video_npz(p, min_len=40)),
+             lambda p: check_video_npz(p, min_len=40, time_axis=1)),
     ]:
         if os.path.exists(j(drop, rel)):
             yield name, j(drop, rel), fn

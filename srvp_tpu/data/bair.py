@@ -18,7 +18,7 @@ from os.path import join
 import numpy as np
 from PIL import Image
 
-from srvp_tpu.data.base import VideoDataset
+from srvp_tpu.data.base import VideoDataset, packed_tree_complete
 
 
 class BAIR(VideoDataset):
@@ -97,18 +97,19 @@ class BAIR(VideoDataset):
                                     self.nx, self.nx, self.nc, n_threads)
 
     @classmethod
-    def make_dataset(cls, data_dir, seq_len, train):
+    def make_dataset(cls, data_dir, seq_len, train, prefer_packed=True):
         fold = "train" if train else "test"
         packed_root = join(data_dir, "packed_data", fold)
-        if os.path.isdir(packed_root):
+        if prefer_packed and os.path.isdir(packed_root):
             # same nested sorted walk as the PNG tree, so the video order
             # (and the seed-42 fold split downstream) is format-invariant
             data = [join(packed_root, d1, f)
                     for d1 in sorted(os.listdir(packed_root))
+                    if os.path.isdir(join(packed_root, d1))
                     for f in sorted(os.listdir(join(packed_root, d1)),
                                     key=lambda f: os.path.splitext(f)[0])
                     if f.endswith(".npy")]
-            if data:
+            if packed_tree_complete(packed_root, len(data)):
                 return cls(data, seq_len, train, packed=True)
         root = join(data_dir, "processed_data", fold)
         data = []

@@ -12,7 +12,35 @@ randomness is an argument, not process-global state, so multi-threaded
 prefetching stays deterministic (SURVEY.md §5 race-detection note).
 """
 
+import json
+import logging
+import os
+
 import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def packed_tree_complete(packed_root, n_found):
+    """True iff `packed_root` carries the pack script's completion marker
+    and its video count matches what was enumerated. An interrupted pack
+    run (partial tree, no marker, or stale count) must never be consumed
+    silently — it would shrink the dataset and shift the seed-42 fold
+    split; warn and let the caller fall back to the PNG tree."""
+    marker = os.path.join(packed_root, "COMPLETE.json")
+    if not os.path.exists(marker):
+        logger.warning("ignoring packed tree %s: no COMPLETE.json marker "
+                       "(interrupted pack run?); falling back to PNG frames",
+                       packed_root)
+        return False
+    with open(marker) as f:
+        expected = json.load(f).get("videos")
+    if expected != n_found:
+        logger.warning("ignoring packed tree %s: marker says %s videos but "
+                       "%d enumerated; falling back to PNG frames",
+                       packed_root, expected, n_found)
+        return False
+    return True
 
 
 def load_dataset(config, train):

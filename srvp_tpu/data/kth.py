@@ -17,7 +17,7 @@ from os.path import join
 import numpy as np
 from PIL import Image
 
-from srvp_tpu.data.base import VideoDataset
+from srvp_tpu.data.base import VideoDataset, packed_tree_complete
 
 
 class KTH(VideoDataset):
@@ -118,26 +118,29 @@ class KTH(VideoDataset):
                                     self.nx, self.nx, 1, n_threads)
 
     @classmethod
-    def make_dataset(cls, data_dir, nx, seq_len, train):
+    def make_dataset(cls, data_dir, nx, seq_len, train, prefer_packed=True):
         if train:
             packed_root = join(data_dir, f"packed_{nx}")
-            if os.path.isdir(packed_root):
-                data = []
+            if prefer_packed and os.path.isdir(packed_root):
+                all_npy = []   # every packed video (marker-count validation)
                 for c in cls.classes:
                     cdir = join(packed_root, c)
                     if not os.path.isdir(cdir):
                         continue
-                    for f in sorted(os.listdir(cdir),
-                                    key=lambda f: os.path.splitext(f)[0]):
-                        if not f.endswith(".npy"):
-                            continue
+                    all_npy.extend(
+                        (c, f) for f in sorted(
+                            os.listdir(cdir),
+                            key=lambda f: os.path.splitext(f)[0])
+                        if f.endswith(".npy"))
+                if packed_tree_complete(packed_root, len(all_npy)):
+                    data = []
+                    for c, f in all_npy:
                         # persons 21-25 are reserved for the test set
                         if int(f.split("_")[0][-2:]) > 20:
                             continue
-                        path = join(cdir, f)
+                        path = join(packed_root, c, f)
                         n = len(np.load(path, mmap_mode="r"))
                         data.append((path, n))
-                if data:
                     return cls(data, nx, seq_len, train, packed=True)
             root = join(data_dir, f"processed_{nx}")
             data = []

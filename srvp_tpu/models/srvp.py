@@ -182,16 +182,16 @@ def encode(cfg, params, state, x, *, train, rng=None):
                     s = s.reshape((bsz, nt) + s.shape[1:])
                     m = onehot.reshape((bsz, nt) + (1,) * (s.ndim - 2))
                     out_skips.append((s * m.astype(s.dtype)).sum(axis=1))
-        elif os.environ.get("SRVP_SKIP_SELECT", "foldmm") == "foldmm":
-            # Eval: last frame per video, same folded-axis one-hot matmul as
-            # the training select (static indices b*nt + nt-1).
-            sel = jax.nn.one_hot(jnp.arange(bsz) * nt + (nt - 1), bsz * nt)
-            for s in skips:
-                out_skips.append(
-                    jnp.einsum("bq,q...->b...", sel.astype(s.dtype), s))
         else:
+            # Eval: last frame per video — a STATIC strided slice on the
+            # folded batch axis (rows nt-1, 2nt-1, ...), no (bsz, nt, ...)
+            # reshape of the big activation. Preferred over the training
+            # path's one-hot matmul here: a contraction would propagate a
+            # non-finite value in ANY frame's activation into every video's
+            # skip (0 * inf = nan), whereas the slice only reads the frames
+            # it returns — eval of a damaged checkpoint stays per-video.
             for s in skips:
-                out_skips.append(s.reshape((bsz, nt) + s.shape[1:])[:, -1])
+                out_skips.append(s[nt - 1::nt])
         skips = out_skips
     else:
         skips = None

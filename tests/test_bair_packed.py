@@ -119,3 +119,43 @@ def test_train_cli_on_packed_tree(tree, tmp_path):
     assert load_dataset(opt, True).packed
     assert train_main(opt) == 0
     assert (xp_dir / "model.npz").exists()
+
+
+def test_incomplete_packed_tree_falls_back(tree, caplog):
+    """An interrupted pack run (missing marker, stale count, or a crash
+    leftover tmp file) must never be consumed silently — make_dataset
+    falls back to the PNG tree with a warning, and tmp names are never
+    enumerated as videos."""
+    import logging
+    import os
+    marker = tree / "packed_data" / "train" / "COMPLETE.json"
+    backup = marker.read_text()
+
+    # missing marker
+    os.remove(marker)
+    with caplog.at_level(logging.WARNING, logger="srvp_tpu.data.base"):
+        ds = BAIR.make_dataset(str(tree), 12, True)
+    assert not ds.packed
+    assert any("COMPLETE.json" in r.message for r in caplog.records)
+
+    # count mismatch (marker present but a video file missing)
+    marker.write_text(backup)
+    victim = next((tree / "packed_data" / "train" / "traj_0").glob("*.npy"))
+    tmp_away = tree / "stash.npy"
+    victim.rename(tmp_away)
+    try:
+        ds = BAIR.make_dataset(str(tree), 12, True)
+        assert not ds.packed
+    finally:
+        tmp_away.rename(victim)
+
+    # a crash-leftover tmp file must not be enumerated (name has no .npy
+    # suffix by construction in pack.py)
+    leftover = tree / "packed_data" / "train" / "traj_0" / "5.npy.tmp"
+    leftover.write_bytes(b"garbage")
+    try:
+        ds = BAIR.make_dataset(str(tree), 12, True)
+        assert ds.packed and len(ds.data) == 12
+        assert not any(str(p).endswith(".tmp") for p in ds.data)
+    finally:
+        leftover.unlink()

@@ -177,6 +177,19 @@ def test_bad_test_set_rejected(tmp_path):
     assert not ok and "uint8" in results[0]["detail"]
 
 
+def test_short_time_dim_rejected(tmp_path):
+    """A drop with many videos but too-short clips must be rejected: the
+    length check constrains the TIME axis, not 'either leading dim' (a
+    1000-video count would otherwise always satisfy it)."""
+    ds = tmp_path / "datasets"
+    ds.mkdir()
+    # 1000 KTH videos of only 20 frames — protocol needs 40
+    np.savez(ds / "svg_test_set_40.npz",
+             sequences=np.zeros((1000, 20, 64, 64), np.uint8))
+    results, ok = verify_drop(str(tmp_path))
+    assert not ok and "time dim 20" in results[0]["detail"]
+
+
 def test_empty_drop_reports_empty(tmp_path):
     results, ok = verify_drop(str(tmp_path))
     assert results == [] and not ok
