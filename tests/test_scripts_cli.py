@@ -202,3 +202,28 @@ class TestSweepXlaFlags:
         assert out["legs"]["fast"]["options"] == {"fake_option": "1"}
         text = capsys.readouterr().out
         assert "0.90x baseline" in text  # summary ranks vs baseline
+
+
+def test_make_synthetic_test_set(tmp_path):
+    """scripts/make_synthetic_test_set.py writes a test.py-consumable npz
+    (time-major uint8 `sequences`) and different digit seeds give different
+    held-out glyph banks."""
+    import subprocess
+    import sys
+    import numpy as np
+
+    REPO = os.path.join(os.path.dirname(__file__), "..")
+
+    def run(seed):
+        out = tmp_path / f"s{seed}"
+        subprocess.run(
+            [sys.executable, "scripts/make_synthetic_test_set.py",
+             "--data_dir", str(out), "--n_videos", "3", "--seq_len", "8",
+             "--digit_seed", str(seed)],
+            check=True, cwd=REPO, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        with np.load(out / "smmnist_test_2digits_64.npz") as arc:
+            return arc["sequences"]
+
+    a, b = run(1), run(2)
+    assert a.shape == (8, 3, 64, 64) and a.dtype == np.uint8
+    assert not np.array_equal(a, b)  # held-out glyph bank differs by seed
