@@ -22,8 +22,10 @@ Loss semantics on the torch side mirror /root/reference/train.py:91-106;
 validation mirrors /root/reference/train.py:165-186 (best sample by
 all-frame PSNR, report prediction-frame PSNR).
 
-The config is the flagship SMMNIST recipe scaled down (nf 64->16 etc.) so
-the torch side is feasible on this machine's single CPU core.
+Two matched recipes are available via --recipe: the flagship SMMNIST
+(dcgan, 1 Euler step) and a scaled-down KTH (vgg+skipco, 2 Euler substeps,
+obs_scale 0.2) — both reduced (nf 64->16 etc.) so the torch side is
+feasible on this machine's single CPU core.
 """
 
 import argparse
@@ -37,19 +39,44 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# ----- matched config (reduced flagship SMMNIST) ---------------------------
-CFG = dict(nx=64, nc=1, nf=16, nhx=64, ny=8, nz=8, skipco=False,
-           nt_inf=3, nh_inf=128, nlayers_inf=2, nh_res=256, nlayers_res=3,
-           archi="dcgan")
-SEQ_LEN = 10
-NT_COND = 4
+# ----- matched configs (reduced recipes; nf 64->16 etc. so the torch side
+# is feasible on this machine's single CPU core) ----------------------------
+RECIPES = {
+    # flagship SMMNIST (dcgan) — the original oracle config
+    "smmnist": dict(
+        cfg=dict(nx=64, nc=1, nf=16, nhx=64, ny=8, nz=8, skipco=False,
+                 nt_inf=3, nh_inf=128, nlayers_inf=2, nh_res=256,
+                 nlayers_res=3, archi="dcgan"),
+        seq_len=10, nt_cond=4, beta_y=1.0, beta_z=2.0, l2_res=1.0,
+        obs_scale=1.0, res_gain=1.41, n_euler_steps=1),
+    # KTH recipe scaled down (vgg+skipco, 2 Euler substeps, obs_scale 0.2,
+    # res_gain 1.2 — /root/reference/README.md KTH training command)
+    "kth": dict(
+        cfg=dict(nx=64, nc=1, nf=16, nhx=64, ny=12, nz=12, skipco=True,
+                 nt_inf=3, nh_inf=128, nlayers_inf=2, nh_res=256,
+                 nlayers_res=3, archi="vgg"),
+        seq_len=12, nt_cond=6, beta_y=1.0, beta_z=1.0, l2_res=1.0,
+        obs_scale=0.2, res_gain=1.2, n_euler_steps=2),
+}
+
+CFG = None
+SEQ_LEN = NT_COND = None
 BATCH = 16
 LR = 3e-4
-BETA_Y, BETA_Z, L2_RES = 1.0, 2.0, 1.0
-OBS_SCALE = 1.0
-RES_GAIN = 1.41
+BETA_Y = BETA_Z = L2_RES = OBS_SCALE = RES_GAIN = N_EULER = None
 N_VAL_VIDEOS = 32
 N_VAL_SAMPLES = 5
+
+
+def apply_recipe(name):
+    global CFG, SEQ_LEN, NT_COND, BETA_Y, BETA_Z, L2_RES, OBS_SCALE, \
+        RES_GAIN, N_EULER
+    r = RECIPES[name]
+    CFG = r["cfg"]
+    SEQ_LEN, NT_COND = r["seq_len"], r["nt_cond"]
+    BETA_Y, BETA_Z, L2_RES = r["beta_y"], r["beta_z"], r["l2_res"]
+    OBS_SCALE, RES_GAIN, N_EULER = (r["obs_scale"], r["res_gain"],
+                                    r["n_euler_steps"])
 
 _TRAIN_SEED0 = 1_000_000
 _VAL_SEED0 = 9_000_000
@@ -107,6 +134,7 @@ def run_torch(steps, out, log_every, val_every):
     val = torch.from_numpy(make_val_set(ds)).unsqueeze(2).contiguous()
     log = JsonlLogger(out)
     log.write(side="torch", config=CFG, seq_len=SEQ_LEN, nt_cond=NT_COND,
+              n_euler_steps=N_EULER,
               batch=BATCH, lr=LR, beta_y=BETA_Y, beta_z=BETA_Z,
               l2_res=L2_RES, steps=steps)
 
@@ -117,7 +145,7 @@ def run_torch(steps, out, log_every, val_every):
             all_p, pred_p = [], []
             for s in range(N_VAL_SAMPLES):
                 torch.manual_seed(10_000 + s)
-                x_, *_ = model(x_inf, SEQ_LEN, dt=1.0)
+                x_, *_ = model(x_inf, SEQ_LEN, dt=1.0 / N_EULER)
                 mse = ((x_ - val) ** 2).mean(dim=(2, 3, 4))     # (T, B)
                 psnr = 10 * torch.log10(1.0 / mse)
                 all_p.append(psnr.mean(0))                       # (B,)
@@ -134,7 +162,8 @@ def run_torch(steps, out, log_every, val_every):
     for step in range(steps):
         x = torch.from_numpy(make_batch(ds, step)).unsqueeze(2).contiguous()
         optimizer.zero_grad()
-        x_, y, z, _, q_y0, q_z, p_z, res = model(x, SEQ_LEN, dt=1.0)
+        x_, y, z, _, q_y0, q_z, p_z, res = model(x, SEQ_LEN,
+                                         dt=1.0 / N_EULER)
         nll = ref_utils.neg_logprob(x_, x, scale=OBS_SCALE).sum()
         kl_y = distrib.kl_divergence(
             ref_utils.make_normal_from_raw_params(q_y0),
@@ -163,6 +192,8 @@ def run_torch(steps, out, log_every, val_every):
 # ---------------------------------------------------------------------------
 
 def run_jax(steps, out, log_every, val_every):
+    from srvp_tpu.utils.runtime import honor_jax_platforms_env
+    honor_jax_platforms_env()   # let JAX_PLATFORMS=cpu win over the axon plugin
     import jax
     import jax.numpy as jnp
     from srvp_tpu import train_lib
@@ -171,7 +202,8 @@ def run_jax(steps, out, log_every, val_every):
     cfg = SRVPConfig(**CFG)
     hp = train_lib.TrainHParams(
         nt_cond=NT_COND, beta_y=BETA_Y, beta_z=BETA_Z, l2_res=L2_RES,
-        obs_scale=OBS_SCALE, lr=LR, n_samples_test=N_VAL_SAMPLES,
+        obs_scale=OBS_SCALE, lr=LR, oversampling=N_EULER,
+        n_samples_test=N_VAL_SAMPLES,
         val_samples_chunk=N_VAL_SAMPLES, compute_dtype=jnp.float32)
     ts = train_lib.init_train_state(jax.random.PRNGKey(42), cfg, hp,
                                     res_gain=RES_GAIN)
@@ -182,6 +214,7 @@ def run_jax(steps, out, log_every, val_every):
     val = jnp.asarray(make_val_set(ds)[..., None])     # (T, B, H, W, 1)
     log = JsonlLogger(out)
     log.write(side="jax", config=CFG, seq_len=SEQ_LEN, nt_cond=NT_COND,
+              n_euler_steps=N_EULER,
               batch=BATCH, lr=LR, beta_y=BETA_Y, beta_z=BETA_Z,
               l2_res=L2_RES, steps=steps, backend=jax.default_backend())
 
@@ -204,11 +237,13 @@ def run_jax(steps, out, log_every, val_every):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("side", choices=["torch", "jax"])
+    p.add_argument("--recipe", choices=sorted(RECIPES), default="smmnist")
     p.add_argument("--steps", type=int, default=15000)
     p.add_argument("--out", required=True)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--val-every", type=int, default=1000)
     a = p.parse_args()
+    apply_recipe(a.recipe)
     if a.side == "torch":
         run_torch(a.steps, a.out, a.log_every, a.val_every)
     else:
