@@ -143,6 +143,11 @@ def create_args():
                help="Optimization steps between evaluations / best-model saves.")
     eval_p.add("--chkpt_interval", type=int, metavar="STEPS", default=None,
                help="If not None, save intermediate models every given steps.")
+    eval_p.add("--keep_chkpt", type=int, metavar="N", default=None,
+               help="If not None, retain only the N most recent periodic "
+                    "model_<step>.npz snapshots (model.npz / model_best.npz "
+                    "/ train_state.npz are always kept). srvp-tpu extension; "
+                    "the reference keeps every snapshot.")
     eval_p.add("--batch_size_test", type=int, metavar="SIZE", default=16,
                help="Validation batch size.")
     eval_p.add("--n_iter_test", type=int, metavar="STEPS", default=25,

@@ -243,6 +243,10 @@ def main(opt):
                     ckpt.save_model(opt.save_path, f"model_{i}", s.params,
                                     s.bn_state)
                     ckpt.save_train_state(opt.save_path, s)
+                    # Prune AFTER the new snapshot landed, on the writer
+                    # thread, so the newest file is never a deletion victim
+                    # and the step loop never blocks on filesystem walks.
+                    ckpt.prune_periodic(opt.save_path, opt.get("keep_chkpt"))
                 writer.submit(save_periodic)
     except KeyboardInterrupt:
         status_code = 130

@@ -76,6 +76,33 @@ def save_model(save_path, name, params, bn_state):
     os.replace(tmp, target)
 
 
+def prune_periodic(save_path, keep):
+    """Delete all but the `keep` most recent periodic model_<step>.npz.
+
+    Only strictly-numeric periodic snapshots are candidates — model.npz,
+    model_best.npz, train_state.npz and in-flight *.tmp.npz files are never
+    touched. A 100k-step run at --chkpt_interval 1000 writes ~9 GB of
+    periodic snapshots; with --keep_chkpt N disk stays bounded at N files
+    while --resume still has train_state.npz (which is separate and always
+    current). No-op when keep is None.
+    """
+    if keep is None:
+        return
+    steps = []
+    for fname in os.listdir(save_path):
+        if not (fname.startswith("model_") and fname.endswith(".npz")):
+            continue
+        stem = fname[len("model_"):-len(".npz")]
+        if stem.isdigit():
+            steps.append(int(stem))
+    doomed = sorted(steps)[:-keep] if keep > 0 else sorted(steps)
+    for step in doomed:
+        try:
+            os.remove(os.path.join(save_path, f"model_{step}.npz"))
+        except FileNotFoundError:
+            pass  # concurrent external cleanup; retention goal already met
+
+
 def load_model(path, params_template, bn_state_template):
     tree = load_npz(path, {"params": params_template, "bn_state": bn_state_template})
     return tree["params"], tree["bn_state"]

@@ -163,3 +163,50 @@ def test_training_with_async_periodic_saves_matches_uninterrupted(tmp_path):
     with np.load(xp_a / "model_4.npz") as a4, np.load(xp_a / "model.npz") as af:
         for k in a4.files:
             np.testing.assert_array_equal(a4[k], af[k], err_msg=k)
+
+
+def test_prune_periodic_retention(tmp_path):
+    """--keep_chkpt retention: only numeric model_<step>.npz beyond the N
+    newest are deleted; model.npz / model_best.npz / train_state.npz and
+    in-flight .tmp.npz files are never candidates."""
+    keep_always = ["model.npz", "model_best.npz", "train_state.npz",
+                   "model_77.npz.tmp.npz", "model_x.npz"]
+    periodic = [f"model_{s}.npz" for s in (1000, 2000, 10000, 9000)]
+    for fname in keep_always + periodic:
+        (tmp_path / fname).write_bytes(b"x")
+
+    ckpt.prune_periodic(str(tmp_path), keep=2)
+    left = sorted(p.name for p in tmp_path.iterdir())
+    assert left == sorted(keep_always + ["model_9000.npz", "model_10000.npz"])
+
+    # keep=None is a no-op; keep=0 removes every periodic snapshot
+    ckpt.prune_periodic(str(tmp_path), keep=None)
+    assert sorted(p.name for p in tmp_path.iterdir()) == left
+    ckpt.prune_periodic(str(tmp_path), keep=0)
+    assert sorted(p.name for p in tmp_path.iterdir()) == sorted(keep_always)
+
+
+def test_keep_chkpt_flag_prunes_during_training(tmp_path):
+    """CLI seam: a run with --chkpt_interval 1 --keep_chkpt 1 ends with only
+    the newest periodic snapshot (plus model/model_best/train_state)."""
+    from srvp_tpu import args as args_mod
+    from srvp_tpu.helper import DotDict
+    from srvp_tpu.train_main import main as train_main
+
+    base = (f"--dataset smmnist --data_dir {tmp_path} "
+            "--ny 4 --nz 4 --nt_cond 3 --nt_inf 2 --nc 1 --seq_len 6 "
+            "--seed 5 --nf 4 --nhx 8 --nh_inf 8 --nlayers_inf 2 --nh_res 16 "
+            "--nlayers_res 2 --batch_size 8 --n_iter 4 --val_interval 4 "
+            "--n_iter_test 1 --n_samples_test 2 --val_samples_chunk 2 "
+            "--log_interval 2 --allow_synthetic --n_workers 1 "
+            "--batch_size_test 4 --seq_len_test 6").split()
+    xp = tmp_path / "xp"
+    opt = DotDict(vars(args_mod.create_args().parse_args(
+        base + ["--save_path", str(xp), "--chkpt_interval", "1",
+                "--keep_chkpt", "1"])))
+    assert train_main(opt) == 0
+    periodic = sorted(p.name for p in xp.iterdir()
+                      if p.name.startswith("model_")
+                      and p.name[len("model_"):-len(".npz")].isdigit())
+    assert periodic == ["model_4.npz"]
+    assert (xp / "model.npz").exists() and (xp / "train_state.npz").exists()
