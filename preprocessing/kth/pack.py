@@ -30,10 +30,15 @@ sys.path.insert(0, os.path.dirname(
 
 def pack_tree(data_dir, nx=64, delete_png=False):
     from PIL import Image
+    from srvp_tpu.data.kth import KTH
     src = join(data_dir, f"processed_{nx}")
     dst = join(data_dir, f"packed_{nx}")
     n = 0
-    for c in sorted(os.listdir(src)):
+    # Enumerate exactly the directory set KTH.make_dataset validates the
+    # completion marker against (KTH.classes) — a stray non-class directory
+    # under processed_{nx} must not inflate the marker count and
+    # permanently disqualify the packed tree.
+    for c in KTH.classes:
         cdir = join(src, c)
         if not os.path.isdir(cdir):
             continue

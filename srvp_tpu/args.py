@@ -13,6 +13,13 @@ DATASETS = ["smmnist", "kth", "human", "bair"]
 PRECISIONS = ["float32", "bfloat16"]
 
 
+def _nonneg_int(value):
+    i = int(value)
+    if i < 0:
+        raise ValueError(f"must be >= 0, got {value}")
+    return i
+
+
 def create_args():
     p = configlib.ArgumentParser(
         prog="Stochastic Latent Residual Video Prediction (training, TPU)",
@@ -143,7 +150,7 @@ def create_args():
                help="Optimization steps between evaluations / best-model saves.")
     eval_p.add("--chkpt_interval", type=int, metavar="STEPS", default=None,
                help="If not None, save intermediate models every given steps.")
-    eval_p.add("--keep_chkpt", type=int, metavar="N", default=None,
+    eval_p.add("--keep_chkpt", type=_nonneg_int, metavar="N", default=None,
                help="If not None, retain only the N most recent periodic "
                     "model_<step>.npz snapshots (model.npz / model_best.npz "
                     "/ train_state.npz are always kept). srvp-tpu extension; "

@@ -112,10 +112,22 @@ class BAIR(VideoDataset):
             if packed_tree_complete(packed_root, len(data)):
                 return cls(data, seq_len, train, packed=True)
         root = join(data_dir, "processed_data", fold)
+        if not os.path.isdir(root):
+            raise FileNotFoundError(
+                f"no BAIR PNG tree at {root} (and no usable packed tree "
+                f"under {data_dir}); if the PNGs were removed with "
+                "`pack.py --delete_png`, re-run preprocessing/bair/pack.py "
+                "so the packed tree carries a valid COMPLETE.json marker")
         data = []
         for d1 in sorted(os.listdir(root)):
             for d2 in sorted(os.listdir(join(root, d1))):
                 data.append(sorted(
                     join(root, d1, d2, img) for img in os.listdir(join(root, d1, d2))
                     if os.path.splitext(img)[1] == ".png"))
+        if not any(data):
+            raise ValueError(
+                f"BAIR PNG tree at {root} enumerated no frames; if the PNGs "
+                "were removed with `pack.py --delete_png`, re-run "
+                "preprocessing/bair/pack.py to restore a valid packed tree "
+                "(COMPLETE.json marker)")
         return cls(data, seq_len, train)

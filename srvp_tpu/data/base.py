@@ -30,11 +30,19 @@ def packed_tree_complete(packed_root, n_found):
     marker = os.path.join(packed_root, "COMPLETE.json")
     if not os.path.exists(marker):
         logger.warning("ignoring packed tree %s: no COMPLETE.json marker "
-                       "(interrupted pack run?); falling back to PNG frames",
-                       packed_root)
+                       "(interrupted pack run, or a tree packed by a "
+                       "pre-marker pack.py — re-run pack.py to stamp it); "
+                       "falling back to PNG frames", packed_root)
         return False
-    with open(marker) as f:
-        expected = json.load(f).get("videos")
+    try:
+        with open(marker) as f:
+            expected = json.load(f).get("videos")
+    except (ValueError, AttributeError, OSError) as e:
+        # A truncated or hand-edited marker must take the documented
+        # warn-and-fall-back path, not crash make_dataset.
+        logger.warning("ignoring packed tree %s: unreadable COMPLETE.json "
+                       "(%s); falling back to PNG frames", packed_root, e)
+        return False
     if expected != n_found:
         logger.warning("ignoring packed tree %s: marker says %s videos but "
                        "%d enumerated; falling back to PNG frames",

@@ -143,6 +143,12 @@ class KTH(VideoDataset):
                         data.append((path, n))
                     return cls(data, nx, seq_len, train, packed=True)
             root = join(data_dir, f"processed_{nx}")
+            if not os.path.isdir(root):
+                raise FileNotFoundError(
+                    f"no KTH PNG tree at {root} (and no usable packed tree "
+                    f"under {data_dir}); if the PNGs were removed with "
+                    "`pack.py --delete_png`, re-run preprocessing/kth/pack.py "
+                    "so the packed tree carries a valid COMPLETE.json marker")
             data = []
             for c in cls.classes:
                 for vid in sorted(os.listdir(join(root, c))):
@@ -155,6 +161,12 @@ class KTH(VideoDataset):
                     data.append(sorted(
                         join(vdir, img) for img in os.listdir(vdir)
                         if os.path.splitext(img)[1] == ".png"))
+            if not any(data):
+                raise ValueError(
+                    f"KTH PNG tree at {root} enumerated no frames; if the "
+                    "PNGs were removed with `pack.py --delete_png`, re-run "
+                    "preprocessing/kth/pack.py to restore a valid packed "
+                    "tree (COMPLETE.json marker)")
         else:
             arc = np.load(join(data_dir, f"svg_test_set_{seq_len}.npz"),
                           allow_pickle=True)

@@ -88,6 +88,11 @@ def prune_periodic(save_path, keep):
     """
     if keep is None:
         return
+    if keep < 0:
+        # keep=-2 would otherwise slice as sorted(steps)[:-(-2)] — inverted,
+        # unbounded retention — so reject loudly (also rejected at argparse
+        # time in srvp_tpu.args).
+        raise ValueError(f"--keep_chkpt must be >= 0, got {keep}")
     steps = []
     for fname in os.listdir(save_path):
         if not (fname.startswith("model_") and fname.endswith(".npz")):
