@@ -99,11 +99,15 @@ def main(opt):
     ts = train_lib.init_train_state(jax.random.PRNGKey(opt.seed), cfg, hp,
                                     res_gain=opt.res_gain)
     ts = jax.device_put(ts, replicated(mesh))
-    resumed_step = None
+    resumed_step, resumed_best = None, None
     if opt.get("resume") and ckpt.has_train_state(opt.save_path):
         ts, meta = ckpt.load_train_state(opt.save_path, ts)
         ts = jax.device_put(ts, replicated(mesh))
         resumed_step = int(ts.step)
+        # The best-val tracker must survive the resume, or the first
+        # post-resume validation silently overwrites model_best.npz even
+        # when it is worse than the pre-interruption best.
+        resumed_best = meta.get("best_val_metric")
         # Resume consumes the same data sequence an uninterrupted run would:
         # skip the batches the interrupted run already trained on (free —
         # the loader's stream is position-seeded).
@@ -141,7 +145,7 @@ def main(opt):
     # ----- training loop (reference train.py:321-384) -----
     assert opt.n_iter > 0
     itr = int(ts.step)
-    val_metric, best_val_metric = None, None
+    val_metric, best_val_metric = None, resumed_best
     metrics = None
     log_interval = opt.get("log_interval", 100)
     status_code = 0
@@ -238,11 +242,12 @@ def main(opt):
             if opt.chkpt_interval is not None and itr % opt.chkpt_interval == 0:
                 snap = writer.snapshot(ts)
 
-                def save_periodic(s=snap, i=itr):
+                def save_periodic(s=snap, i=itr, bv=best_val_metric):
                     s = jax.device_get(s)
                     ckpt.save_model(opt.save_path, f"model_{i}", s.params,
                                     s.bn_state)
-                    ckpt.save_train_state(opt.save_path, s)
+                    ckpt.save_train_state(opt.save_path, s,
+                                          extra={"best_val_metric": bv})
                     # Prune AFTER the new snapshot landed, on the writer
                     # thread, so the newest file is never a deletion victim
                     # and the step loop never blocks on filesystem walks.
@@ -260,7 +265,8 @@ def main(opt):
     print("Saving...")
     writer.wait()  # in-flight periodic save must not land after the final one
     ckpt.save_model(opt.save_path, "model", ts.params, ts.bn_state)
-    ckpt.save_train_state(opt.save_path, jax.device_get(ts))
+    ckpt.save_train_state(opt.save_path, jax.device_get(ts),
+                          extra={"best_val_metric": best_val_metric})
     mlog.close()
     print("Done")
     return status_code

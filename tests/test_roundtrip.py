@@ -54,6 +54,45 @@ def test_train_then_test_roundtrip(tmp_path):
     assert np.all(np.isfinite(results["psnr"]))
 
 
+def test_best_val_tracker_survives_resume(tmp_path):
+    """model_best.npz must never be overwritten by a worse post-resume
+    validation: the best-val metric is persisted in train_state.json and
+    restored on --resume (a fresh tracker would treat the first
+    post-resume val as a new best unconditionally)."""
+    import hashlib
+    import json
+
+    xp_dir = tmp_path / "xp"
+    argv = (f"--save_path {xp_dir} --dataset smmnist --data_dir {tmp_path} "
+            "--ny 4 --nz 4 --nt_cond 3 --nt_inf 2 --nc 1 --seq_len 6 --seed 3 "
+            "--nf 4 --nhx 8 --nh_inf 8 --nlayers_inf 2 --nh_res 16 "
+            "--nlayers_res 2 --batch_size 8 --batch_size_test 4 --n_iter 6 "
+            "--val_interval 3 --n_iter_test 1 --n_samples_test 2 "
+            "--val_samples_chunk 2 --log_interval 3 --allow_synthetic "
+            "--n_workers 1 --seq_len_test 6").split()
+    opt = DotDict(vars(args_mod.create_args().parse_args(argv)))
+    assert train_main(opt) == 0
+
+    meta_path = xp_dir / "train_state.json"
+    meta = json.loads(meta_path.read_text())
+    assert meta.get("best_val_metric") is not None  # persisted at all
+
+    # Tamper: pretend the pre-interruption run had an unbeatable best.
+    meta["best_val_metric"] = -999.0
+    meta_path.write_text(json.dumps(meta))
+    best_before = hashlib.sha256((xp_dir / "model_best.npz").read_bytes())
+
+    opt2 = DotDict(dict(opt))
+    opt2.resume = True
+    opt2.n_iter = 9  # one more val at step 9, which cannot beat -999
+    assert train_main(opt2) == 0
+
+    meta2 = json.loads(meta_path.read_text())
+    assert meta2["best_val_metric"] == -999.0  # restored, not reset
+    best_after = hashlib.sha256((xp_dir / "model_best.npz").read_bytes())
+    assert best_before.hexdigest() == best_after.hexdigest()
+
+
 def test_steps_per_dispatch_cli_matches_single_dispatch(tmp_path):
     """--steps_per_dispatch 2 through the real CLI reproduces the spd=1
     run (same data order, same val/checkpoint cadence; float drift only
