@@ -36,9 +36,19 @@ validated; see README "When you have network access"):
 
 Usage:
     python scripts/verify_artifacts.py --drop DIR [--manifest out.json]
+    python scripts/verify_artifacts.py --drop DIR --check_manifest accepted.json
 
 Exit code 0 iff every artifact present in the drop validates. Writes a
 sha256 + status manifest when --manifest is given.
+
+--check_manifest closes the loop on an ACCEPTED drop: after a drop has
+been validated once and its manifest recorded (--manifest), any future
+session can re-validate byte-identity in one command — every artifact the
+accepted manifest lists must be present with an identical sha256 (files)
+or a clean structural validation (directories). A changed, missing, or
+invalid artifact rejects with a per-artifact CHANGED/MISSING/INVALID row,
+so the "drop files -> one command -> parity eval" path involves no
+judgment calls.
 """
 
 import argparse
@@ -284,10 +294,50 @@ def verify_drop(drop):
     return results, ok
 
 
+def check_against_manifest(results, manifest_path):
+    """Compares a fresh validation pass against an ACCEPTED manifest.
+
+    Returns (rows, ok): one row per accepted artifact — ok requires every
+    accepted artifact present, structurally valid, and (for files)
+    byte-identical by sha256. Artifacts in the drop but not in the
+    manifest are allowed (a drop may grow); anything the manifest lists
+    is contractual."""
+    with open(manifest_path) as f:
+        accepted = json.load(f)
+    if not accepted.get("ok"):
+        return [{"artifact": "<manifest>", "status": "REJECTED",
+                 "detail": "accepted manifest has ok=false; re-record it "
+                           "from a fully valid drop"}], False
+    by_path = {r["path"]: r for r in results}
+    rows, ok = [], True
+    for a in accepted.get("artifacts", []):
+        row = {"artifact": a["artifact"], "path": a["path"]}
+        cur = by_path.get(a["path"])
+        if cur is None:
+            row["status"], row["detail"] = "MISSING", \
+                "listed in the accepted manifest but absent from the drop"
+            ok = False
+        elif cur["status"] != "ok":
+            row["status"], row["detail"] = "INVALID", cur["detail"]
+            ok = False
+        elif a.get("sha256") and a["sha256"] != cur.get("sha256"):
+            row["status"] = "CHANGED"
+            row["detail"] = (f"sha256 {cur.get('sha256', '')[:12]}... != "
+                             f"accepted {a['sha256'][:12]}...")
+            ok = False
+        else:
+            row["status"], row["detail"] = "ok", "matches accepted manifest"
+        rows.append(row)
+    return rows, ok
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--drop", required=True, help="Drop directory to validate")
     p.add_argument("--manifest", help="Write sha256+status manifest JSON here")
+    p.add_argument("--check_manifest", metavar="JSON",
+                   help="Validate the drop against a previously accepted "
+                        "manifest (presence + sha256 byte-identity)")
     args = p.parse_args()
 
     results, ok = verify_drop(args.drop)
@@ -296,6 +346,11 @@ def main():
     if not results:
         print(json.dumps({"status": "EMPTY",
                           "detail": f"no known artifacts under {args.drop}"}))
+    if args.check_manifest:
+        rows, mok = check_against_manifest(results, args.check_manifest)
+        for r in rows:
+            print(json.dumps({"manifest_check": r}), flush=True)
+        ok = ok and mok
     if args.manifest:
         with open(args.manifest, "w") as f:
             json.dump({"drop": os.path.abspath(args.drop), "ok": ok,

@@ -193,3 +193,82 @@ def test_short_time_dim_rejected(tmp_path):
 def test_empty_drop_reports_empty(tmp_path):
     results, ok = verify_drop(str(tmp_path))
     assert results == [] and not ok
+
+
+class TestManifestContract:
+    """--check_manifest: byte-identity revalidation of an accepted drop."""
+
+    def _record(self, drop, path):
+        results, ok = verify_drop(str(drop))
+        assert ok
+        path.write_text(json.dumps(
+            {"drop": str(drop), "ok": ok, "artifacts": results}))
+        return results
+
+    def test_unchanged_drop_accepted(self, drop, tmp_path):
+        from scripts.verify_artifacts import check_against_manifest
+        manifest = tmp_path / "accepted.json"
+        self._record(drop, manifest)
+        results, _ = verify_drop(str(drop))
+        rows, ok = check_against_manifest(results, str(manifest))
+        assert ok and all(r["status"] == "ok" for r in rows)
+        assert len(rows) >= 9
+
+    def test_changed_bytes_rejected(self, drop, tmp_path):
+        import shutil
+        from scripts.verify_artifacts import check_against_manifest
+        manifest = tmp_path / "accepted.json"
+        self._record(drop, manifest)
+        # copy the drop and flip one payload byte in a still-structurally-
+        # valid artifact: only the sha256 contract can catch this
+        clone = tmp_path / "clone"
+        shutil.copytree(drop, clone)
+        idx = clone / "mnist" / "train-images-idx3-ubyte.gz"
+        import gzip as _gzip
+        import struct as _struct
+        with _gzip.open(idx, "wb") as f:
+            f.write(_struct.pack(">IIII", 2051, 3, 28, 28))
+            f.write(b"\x01" + bytes(3 * 28 * 28 - 1))
+        results, ok = verify_drop(str(clone))
+        assert ok  # structurally still a valid idx file...
+        rows, mok = check_against_manifest(results, str(manifest))
+        assert not mok  # ...but the byte-identity contract rejects it
+        changed = [r for r in rows if r["status"] == "CHANGED"]
+        assert len(changed) == 1
+        assert changed[0]["path"].endswith("train-images-idx3-ubyte.gz")
+
+    def test_missing_artifact_rejected(self, drop, tmp_path):
+        import os
+        import shutil
+        from scripts.verify_artifacts import check_against_manifest
+        manifest = tmp_path / "accepted.json"
+        self._record(drop, manifest)
+        clone = tmp_path / "clone_missing"
+        shutil.copytree(drop, clone)
+        os.remove(clone / "i3d" / "i3d_kinetics400.npz")
+        results, _ = verify_drop(str(clone))
+        rows, mok = check_against_manifest(results, str(manifest))
+        assert not mok
+        assert any(r["status"] == "MISSING"
+                   and r["artifact"] == "i3d-kinetics400" for r in rows)
+
+    def test_not_ok_manifest_rejected(self, drop, tmp_path):
+        from scripts.verify_artifacts import check_against_manifest
+        manifest = tmp_path / "bad.json"
+        manifest.write_text(json.dumps({"ok": False, "artifacts": []}))
+        results, _ = verify_drop(str(drop))
+        rows, mok = check_against_manifest(results, str(manifest))
+        assert not mok and rows[0]["status"] == "REJECTED"
+
+    def test_cli_check_manifest_exit_codes(self, drop, tmp_path):
+        manifest = tmp_path / "accepted.json"
+        proc = subprocess.run(
+            [sys.executable, "scripts/verify_artifacts.py", "--drop",
+             str(drop), "--manifest", str(manifest)],
+            capture_output=True, text=True)
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        proc = subprocess.run(
+            [sys.executable, "scripts/verify_artifacts.py", "--drop",
+             str(drop), "--check_manifest", str(manifest)],
+            capture_output=True, text=True)
+        assert proc.returncode == 0, proc.stdout + proc.stderr
