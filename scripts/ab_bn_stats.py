@@ -31,7 +31,7 @@ sys.path.insert(0, REPO)
 from scripts.bench_step import CONFIGS  # noqa: E402
 
 
-def build(cfg_name, dtype_name):
+def build(cfg_name, dtype_name, batch_slice=None):
     import jax
     import jax.numpy as jnp
     from srvp_tpu import train_lib
@@ -46,6 +46,8 @@ def build(cfg_name, dtype_name):
     ts = train_lib.init_train_state(jax.random.PRNGKey(0), cfg, hp)
     ts = jax.device_put(ts, replicated(mesh))
     step = train_lib.make_train_step(cfg, hp)
+    if batch_slice:
+        batch = min(batch, batch_slice)
     x = shard_batch(mesh, jnp.asarray(
         np.random.RandomState(0).rand(seq_len, batch, 64, 64,
                                       kwargs["nc"]).astype(np.float32)))
@@ -54,10 +56,14 @@ def build(cfg_name, dtype_name):
 
 def grads_once(cfg_name, flag):
     """Params after ONE fp32 train step (captures the gradient through the
-    Adam update deterministically)."""
+    Adam update deterministically).
+
+    Full MODEL dims, 16-video batch slice: parity only needs determinism,
+    and the kth batch-100 config does not fit in HBM at fp32 (18.76G needed
+    vs 15.75G — same measurement as bench.golden_loss_step2)."""
     import jax
     _set_flag(flag)
-    ts, step, x, _ = build(cfg_name, "float32")
+    ts, step, x, _ = build(cfg_name, "float32", batch_slice=16)
     ts, metrics = step(ts, x)
     return jax.device_get(ts.params), float(metrics["loss"])
 
