@@ -68,6 +68,19 @@ def create_args():
                 help="Number of slices for multi-slice pods: builds a 2-D "
                      "(dcn, data) mesh with cross-slice collectives on DCN "
                      "and in-slice collectives on ICI (1 = single slice).")
+    distr_p.add("--coordinator_address", type=str, metavar="ADDR",
+                default=None,
+                help="Join a multi-process (multi-host) run: 'auto' on a "
+                     "TPU pod (the runtime provides coordinator/rank), or "
+                     "an explicit host:port with --num_processes and "
+                     "--process_id (the SPMD analogue of the reference's "
+                     "torch.distributed launcher).")
+    distr_p.add("--num_processes", type=int, metavar="NB", default=None,
+                help="Total process count for an explicit "
+                     "--coordinator_address host:port.")
+    distr_p.add("--process_id", type=int, metavar="RANK", default=None,
+                help="This process's id (0..num_processes-1) for an "
+                     "explicit --coordinator_address host:port.")
 
     # Model (reference args.py:77-107)
     model_p = p.add_argument_group(title="Model Configuration",

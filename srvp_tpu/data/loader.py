@@ -28,8 +28,20 @@ class _ProducerError:
 
 
 class DataLoader:
+    """`shard_rank`/`shard_count` feed multi-process SPMD training
+    (parallel/multihost.py): `batch_size` stays the GLOBAL batch size — the
+    epoch order, batch count and per-item seeds are computed exactly as in
+    the unsharded loader — but each process fetches and collates only its
+    contiguous `batch_size/shard_count` slice of every batch. Item
+    randomness depends only on (seed, epoch, position), so the shards of a
+    batch concatenate bit-identically to the unsharded batch for any
+    process count (the reference's DistributedSampler has no such
+    guarantee: it re-partitions the epoch, /root/reference/train.py:254-259).
+    """
+
     def __init__(self, dataset, batch_size, shuffle=True, drop_last=True,
-                 seed=0, num_workers=4, prefetch=2, collate_fn=collate):
+                 seed=0, num_workers=4, prefetch=2, collate_fn=collate,
+                 shard_rank=0, shard_count=1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -40,6 +52,20 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.epoch = 0
         self._start_batch = 0
+        if shard_count > 1:
+            if not 0 <= shard_rank < shard_count:
+                raise ValueError(f"shard_rank {shard_rank} out of range "
+                                 f"for shard_count {shard_count}")
+            if batch_size % shard_count:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide evenly over "
+                    f"shard_count {shard_count}")
+            if not drop_last:
+                raise ValueError(
+                    "sharded loading requires drop_last=True (a ragged "
+                    "final batch cannot be split evenly across processes)")
+        self.shard_rank = shard_rank
+        self.shard_count = shard_count
 
     def fast_forward(self, n_batches):
         """Advances the deterministic batch stream by n_batches WITHOUT
@@ -95,11 +121,18 @@ class DataLoader:
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
+                    per_shard = self.batch_size // self.shard_count
                     for b in range(start_batch, n_batches):
                         if stop.is_set():
                             return
                         lo = b * self.batch_size
                         hi = min(lo + self.batch_size, len(order))
+                        if self.shard_count > 1:
+                            # This process's contiguous slice of the global
+                            # batch (drop_last guarantees hi - lo == the full
+                            # batch, so the slice bounds are always valid).
+                            lo += self.shard_rank * per_shard
+                            hi = lo + per_shard
                         indices = [int(order[p]) for p in range(lo, hi)]
                         seeds = [item_seed(p) for p in range(lo, hi)]
                         batch = None

@@ -49,19 +49,46 @@ def train_hparams(opt):
 
 def main(opt):
     # ----- setup (reference train.py:204-237) -----
+    from srvp_tpu.parallel import multihost
+    # Must precede any backend use: joins the multi-process runtime on pods
+    # (one process per host, one global mesh; reference scales here with
+    # torch.distributed ranks instead, train.py:214-219).
+    multiproc = multihost.initialize_from_opt(opt)
+    primary = multihost.is_primary()
     from srvp_tpu.utils.runtime import MetricsLogger, setup_compilation_cache
     setup_compilation_cache()
     if opt.seed is None:
         opt.seed = random.randint(1, 10000)
+    # A drawn seed differs per process; params are replicated, so every
+    # process must init from process 0's value.
+    opt.seed = multihost.broadcast_seed(opt.seed)
     assert isinstance(opt.seed, int) and opt.seed > 0
     mesh = make_mesh(opt.get("n_devices"), dcn=opt.get("n_dcn") or 1)
     n_dev = mesh.devices.size
-    print(f"Learning on {n_dev} device(s) (seed: {opt.seed}): "
-          f"{mesh.devices.ravel()[0].platform}")
+    if primary:
+        print(f"Learning on {n_dev} device(s) (seed: {opt.seed}): "
+              f"{mesh.devices.ravel()[0].platform}"
+              + (f" [{multihost.process_count()} processes]"
+                 if multiproc else ""))
     assert opt.batch_size % n_dev == 0, "global batch must divide the mesh"
 
     # ----- data (reference train.py:242-266) -----
-    print("Loading data...")
+    if primary:
+        print("Loading data...")
+    # Multi-process: each process fetches only its contiguous slice of
+    # every global batch (bit-identical items — per-item seeds depend on
+    # global position only) and contributes it to the global array via
+    # make_array_from_process_local_data. Single-process paths unchanged.
+    rank, nproc = multihost.process_index(), multihost.process_count()
+    if multiproc:
+        assert opt.batch_size % nproc == 0 and \
+            opt.batch_size_test % nproc == 0, \
+            "global batch sizes must divide the process count"
+        shard_train = lambda b: multihost.shard_local_batch(mesh, b)  # noqa: E731
+        shard_window = lambda bs: multihost.shard_local_stacked(mesh, bs)  # noqa: E731
+    else:
+        shard_train = lambda b: shard_batch(mesh, b)  # noqa: E731
+        shard_window = lambda bs: shard_stacked_batches(mesh, bs)  # noqa: E731
     dataset = load_dataset(opt, True)
     trainset = dataset.get_fold("train")
     valset = dataset.get_fold("val")
@@ -79,19 +106,23 @@ def main(opt):
         train_loader = DataLoader(PartsView(trainset), opt.batch_size,
                                   shuffle=True, drop_last=True, seed=opt.seed,
                                   num_workers=opt.n_workers,
-                                  collate_fn=parts_collate)
+                                  collate_fn=parts_collate,
+                                  shard_rank=rank, shard_count=nproc)
     else:
         train_loader = DataLoader(trainset, opt.batch_size, shuffle=True,
                                   drop_last=True, seed=opt.seed,
                                   num_workers=opt.n_workers,
-                                  collate_fn=collate_uint8)
+                                  collate_fn=collate_uint8,
+                                  shard_rank=rank, shard_count=nproc)
     val_loader = DataLoader(valset, opt.batch_size_test, shuffle=True,
                             drop_last=True, seed=opt.seed + 1,
                             num_workers=opt.n_workers,
-                            collate_fn=collate_uint8)
+                            collate_fn=collate_uint8,
+                            shard_rank=rank, shard_count=nproc)
 
     # ----- model + optimizer (reference train.py:271-293) -----
-    print("Building model...")
+    if primary:
+        print("Building model...")
     cfg = model_config(opt)
     hp = train_hparams(opt)
     opt.n_iter = opt.get("n_iter") or (opt.lr_scheduling_burnin
@@ -112,17 +143,23 @@ def main(opt):
         # skip the batches the interrupted run already trained on (free —
         # the loader's stream is position-seeded).
         train_loader.fast_forward(resumed_step)
-        print(f"Resumed from step {resumed_step}")
+        if primary:
+            print(f"Resumed from step {resumed_step}")
 
-    os.makedirs(opt.save_path, exist_ok=True)
-    # A crash mid-save can strand partial .tmp files (writes are tmp+rename);
-    # clear them so the xp dir only ever holds complete artifacts.
-    for stale in glob.glob(os.path.join(opt.save_path, "*.tmp.npz")) + \
-            glob.glob(os.path.join(opt.save_path, "*.json.tmp")):
-        os.remove(stale)
-    save_json({k: v for k, v in opt.items()}, os.path.join(opt.save_path, "config.json"))
+    # Only the primary process touches the experiment directory (shared
+    # filesystem on pods); the others see checkpoints through it on resume.
+    if primary:
+        os.makedirs(opt.save_path, exist_ok=True)
+        # A crash mid-save can strand partial .tmp files (writes are
+        # tmp+rename); clear them so the xp dir only ever holds complete
+        # artifacts.
+        for stale in glob.glob(os.path.join(opt.save_path, "*.tmp.npz")) + \
+                glob.glob(os.path.join(opt.save_path, "*.json.tmp")):
+            os.remove(stale)
+        save_json({k: v for k, v in opt.items()},
+                  os.path.join(opt.save_path, "config.json"))
     mlog = MetricsLogger(os.path.join(opt.save_path, "metrics.jsonl"),
-                         truncate_after=resumed_step)
+                         truncate_after=resumed_step) if primary else None
 
     train_step = train_lib.make_train_step(cfg, hp)
     spd = opt.get("steps_per_dispatch") or 1
@@ -169,9 +206,8 @@ def main(opt):
 
         def fetch(i):
             if spd > 1 and i % spd == 0 and i + spd <= opt.n_iter:
-                return spd, shard_stacked_batches(
-                    mesh, [next(it) for _ in range(spd)])
-            return 1, shard_batch(mesh, next(it))
+                return spd, shard_window([next(it) for _ in range(spd)])
+            return 1, shard_train(next(it))
 
         i = start_itr
         nxt = fetch(i)
@@ -208,7 +244,7 @@ def main(opt):
                 jax.profiler.stop_trace()
                 print(f"Profiler trace written to {profile_dir}")
 
-            if itr % log_interval == 0:
+            if itr % log_interval == 0 and primary:
                 m = {k: float(v) for k, v in metrics.items()}
                 now = time.time()
                 fps = frames_per_batch * (itr - itr_last) / max(now - t_last, 1e-9)
@@ -221,52 +257,72 @@ def main(opt):
                 mlog.log(itr, fps=fps, **m)
 
             if itr % opt.val_interval == 0:
+                # Every process runs validation (the eval program's
+                # reductions are global collectives); val_metric comes out
+                # identical everywhere, so the best-val decision stays in
+                # sync and only the primary writes.
                 val_metric = train_lib.evaluate(
                     eval_batch, ts.params, ts.bn_state, iter(val_loader),
                     opt.n_iter_test, jax.random.fold_in(eval_key, itr),
-                    shard_fn=lambda b: shard_batch(mesh, b),
-                    pad_to=mesh.devices.size)
-                print(f"[{itr}] val_metric (-PSNR): {val_metric:.4f}", flush=True)
-                mlog.log(itr, val_metric=val_metric)
+                    shard_fn=shard_train,
+                    pad_to=1 if multiproc else mesh.devices.size)
+                if primary:
+                    print(f"[{itr}] val_metric (-PSNR): {val_metric:.4f}",
+                          flush=True)
+                    mlog.log(itr, val_metric=val_metric)
                 if best_val_metric is None or best_val_metric > val_metric:
                     best_val_metric = val_metric
+                    # Snapshot on EVERY process (an eager device copy on
+                    # global arrays must be dispatched by all controllers);
+                    # only the primary consumes it. device_get of the
+                    # replicated copies reads local shards — no dispatch.
                     snap = writer.snapshot((ts.params, ts.bn_state))
-
-                    def save_best(s=snap):
-                        # One batched transfer, then the device copy is free
-                        # for the rest of the (compressing) write.
-                        s = jax.device_get(s)
-                        ckpt.save_model(opt.save_path, "model_best", s[0], s[1])
-                    writer.submit(save_best)
+                    if primary:
+                        def save_best(s=snap):
+                            # One batched transfer, then the device copy is
+                            # free for the rest of the (compressing) write.
+                            s = jax.device_get(s)
+                            ckpt.save_model(opt.save_path, "model_best",
+                                            s[0], s[1])
+                        writer.submit(save_best)
 
             if opt.chkpt_interval is not None and itr % opt.chkpt_interval == 0:
                 snap = writer.snapshot(ts)
 
-                def save_periodic(s=snap, i=itr, bv=best_val_metric):
-                    s = jax.device_get(s)
-                    ckpt.save_model(opt.save_path, f"model_{i}", s.params,
-                                    s.bn_state)
-                    ckpt.save_train_state(opt.save_path, s,
-                                          extra={"best_val_metric": bv})
-                    # Prune AFTER the new snapshot landed, on the writer
-                    # thread, so the newest file is never a deletion victim
-                    # and the step loop never blocks on filesystem walks.
-                    ckpt.prune_periodic(opt.save_path, opt.get("keep_chkpt"))
-                writer.submit(save_periodic)
+                if primary:
+                    def save_periodic(s=snap, i=itr, bv=best_val_metric):
+                        s = jax.device_get(s)
+                        ckpt.save_model(opt.save_path, f"model_{i}", s.params,
+                                        s.bn_state)
+                        ckpt.save_train_state(opt.save_path, s,
+                                              extra={"best_val_metric": bv})
+                        # Prune AFTER the new snapshot landed, on the writer
+                        # thread, so the newest file is never a deletion
+                        # victim and the step loop never blocks on
+                        # filesystem walks.
+                        ckpt.prune_periodic(opt.save_path,
+                                            opt.get("keep_chkpt"))
+                    writer.submit(save_periodic)
     except KeyboardInterrupt:
         status_code = 130
     finally:
         signal.signal(signal.SIGTERM, prev_handler)
-    if stop_requested:
+    if stop_requested and primary:
         print("SIGTERM received: checkpointing and exiting")
+    if stop_requested:
         status_code = 143
 
     # ----- final save (reference train.py:377-383) -----
-    print("Saving...")
-    writer.wait()  # in-flight periodic save must not land after the final one
-    ckpt.save_model(opt.save_path, "model", ts.params, ts.bn_state)
-    ckpt.save_train_state(opt.save_path, jax.device_get(ts),
-                          extra={"best_val_metric": best_val_metric})
-    mlog.close()
-    print("Done")
+    if primary:
+        print("Saving...")
+        writer.wait()  # in-flight periodic save must not land after this one
+        ckpt.save_model(opt.save_path, "model", ts.params, ts.bn_state)
+        ckpt.save_train_state(opt.save_path, jax.device_get(ts),
+                              extra={"best_val_metric": best_val_metric})
+        mlog.close()
+    # All processes leave together — a non-primary exiting early would tear
+    # down its side of the runtime while the primary is still writing.
+    multihost.sync("final-checkpoint")
+    if primary:
+        print("Done")
     return status_code
