@@ -123,6 +123,27 @@ def local_batch_slice(mesh, global_batch_size):
     return mine[0] * rows, (mine[-1] + 1) * rows
 
 
+def validate_loader_slices(mesh, global_batch_size):
+    """Raises unless the DataLoader's rank-based slice of the global batch
+    (`shard_rank=process_index`, contiguous rows rank*per..(rank+1)*per) is
+    exactly the rows this process's mesh devices own.
+
+    `make_array_from_process_local_data` assembles the global array
+    assuming the local data IS this process's slice in global row order —
+    if the mesh's device order were not process-major by process index,
+    every process would silently train on another process's data. This
+    turns that assumption into a checked invariant at startup."""
+    lo, hi = local_batch_slice(mesh, global_batch_size)
+    per = hi - lo
+    want = (jax.process_index() * per, (jax.process_index() + 1) * per)
+    if (lo, hi) != want:
+        raise AssertionError(
+            f"mesh device order is not process-major by process index: "
+            f"process {jax.process_index()} owns global batch rows "
+            f"[{lo}, {hi}) but the loader feeds rows [{want[0]}, {want[1]}); "
+            f"the sharded data stream would be misassigned")
+
+
 def shard_local_batch(mesh, local_batch, batch_axis=1):
     """Builds the GLOBAL sharded batch array from this process's slice.
 

@@ -84,6 +84,11 @@ def main(opt):
         assert opt.batch_size % nproc == 0 and \
             opt.batch_size_test % nproc == 0, \
             "global batch sizes must divide the process count"
+        # Fail loudly at startup if the rank-based loader slices would not
+        # land on the rows this process's mesh devices own (exotic device
+        # orders would otherwise silently misassign the data stream).
+        multihost.validate_loader_slices(mesh, opt.batch_size)
+        multihost.validate_loader_slices(mesh, opt.batch_size_test)
         shard_train = lambda b: multihost.shard_local_batch(mesh, b)  # noqa: E731
         shard_window = lambda bs: multihost.shard_local_stacked(mesh, bs)  # noqa: E731
     else:

@@ -127,6 +127,19 @@ def test_local_batch_slice_single_process():
         local_batch_slice(mesh, 12)
 
 
+def test_validate_loader_slices_single_process():
+    """Single process: the loader's rank-0 whole-batch slice IS the owned
+    rows, so validation passes; indivisible batches still raise."""
+    from srvp_tpu.parallel import make_mesh
+    from srvp_tpu.parallel.multihost import validate_loader_slices
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    validate_loader_slices(mesh, 16)  # must not raise
+    with pytest.raises(ValueError, match="does not divide"):
+        validate_loader_slices(mesh, 12)
+
+
 def test_shard_local_batch_single_process_matches_shard_batch():
     """With one process, shard_local_batch and shard_batch build the same
     global array (same sharding, same contents)."""
